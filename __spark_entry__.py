@@ -1,38 +1,857 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG query (gazetteer mentions →
+linking → canonicalization → co-occurrence triples → doc-frequency counts)
+on /root/testdata/sf0.001. ``queries()`` exposes every implemented operator
+from SURVEY.md §2 (+ the training-data-pipeline ops); ``oracle_sql()`` gives
+exact DuckDB mirrors. Float-valued queries use ordered-fold arithmetic on
+both sides (bitwise-identical doubles) or round to a fixed grid.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from entity_extractor_by_pointer_spark.functions.gazetteer import (
+    DOCS_GAZETTEER,
+    PREDICATE_RULE,
+)
+from entity_extractor_by_pointer_spark.functions.model import NerConfig
+from entity_extractor_by_pointer_spark.functions.textstats import (
+    bpe_ish_token_count,
+    fingerprint64,
+    lang_id,
+    quality_score,
+    ws_token_count,
+)
+from entity_extractor_by_pointer_spark.operators import dedup as dd
+from entity_extractor_by_pointer_spark.operators import similarity as sim
+from entity_extractor_by_pointer_spark.operators.canonicalize import (
+    canonicalize_entities,
+    connected_components,
+)
+from entity_extractor_by_pointer_spark.operators.linking import (
+    alias_df,
+    link_mentions,
+    unlinked_only,
+)
+from entity_extractor_by_pointer_spark.operators.mentions import (
+    detect_mentions,
+    detect_mentions_gazetteer,
+    mention_sets,
+)
+from entity_extractor_by_pointer_spark.operators.multimodal import extract_media_features
+from entity_extractor_by_pointer_spark.operators.triples import build_triples, triple_counts
+
+# ---------------------------------------------------------------------------
+# shared constants (mirrored verbatim into the oracle SQL)
+
+# linking dimension intentionally omits PER_QUERY/LOC_STREAM surfaces so the
+# anti-join (unlinked mentions) is non-trivial
+LINK_ALIASES = [
+    ("spark", "ORG_SPARK"),
+    ("vector", "ORG_VECTOR"),
+    ("customer", "PER_CUSTOMER"),
+    ("window", "LOC_WINDOW"),
+]
+
+# min-label closure of gazetteer.CANON_EDGES over all six entity ids
+CANON_MAP = {
+    "ORG_SPARK": "ORG_SPARK",
+    "ORG_VECTOR": "ORG_SPARK",
+    "LOC_WINDOW": "LOC_STREAM",
+    "LOC_STREAM": "LOC_STREAM",
+    "PER_CUSTOMER": "PER_CUSTOMER",
+    "PER_QUERY": "PER_QUERY",
+}
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.35  # demo threshold; production near-dup uses ~0.95
+SIMHASH_MAX_HAMMING = 3
+ANN_K = 5
+ANN_QUERIES = 10  # vec_id < 10 are the query set
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _gaz_values_sql() -> str:
+    rows = ", ".join(f"('{n}', '{t}', '{e}')" for n, t, e in DOCS_GAZETTEER)
+    return f"(VALUES {rows}) AS gaz(name, type, entity_id)"
+
+
+def _canon_values_sql(alias: str = "canon") -> str:
+    rows = ", ".join(f"('{k}', '{v}')" for k, v in CANON_MAP.items())
+    return f"(VALUES {rows}) AS {alias}(entity_id, canon_id)"
+
+
+def _pred_case_sql(a: str = "a.etype", b: str = "b.etype") -> str:
+    whens = " ".join(
+        f"WHEN {a} = '{st}' AND {b} = '{ot}' THEN '{p}'"
+        for (st, ot), p in PREDICATE_RULE.items()
+    )
+    return f"CASE {whens} END"
+
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len(w) - 2, 0)),"
+    " i -> array_to_string(w[i:i+2], ' '))"
+)
+_H64 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Ordered-fold dot product — IEEE-identical to Spark's
+    zip_with+aggregate (element products, then left fold)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(generate_series(1, len({a})),"
+        f" i -> {a}[i]::DOUBLE * {a}[i]::DOUBLE), (acc, x) -> acc + x))"
+    )
+
+
+def _plane_dot_sql(vec: str, plane: list[float]) -> str:
+    lits = ", ".join(repr(float(x)) for x in plane)
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({vec})),"
+        f" i -> {vec}[i]::DOUBLE * ([{lits}])[i]), (acc, x) -> acc + x)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (documents table, gazetteer scorer)
+
+
+def _doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import types as T
+
+    return detect_mentions_gazetteer(
+        docs, DOCS_GAZETTEER, id_col="doc_id", text_col="text", id_type=T.LongType()
+    )
+
+
+def q_ner_mentions(spark, sf_dir):
+    return mention_sets(_doc_mentions(spark, sf_dir), id_col="doc_id")
+
+
+def q_ner_mention_positions(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    return m.groupBy("doc_id", "type", "entity").agg(
+        F.min("start_idx").cast("int").alias("first_pos")
+    )
+
+
+def q_entity_linking(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, LINK_ALIASES)
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    return linked.select("doc_id", "entity", "entity_id").dropDuplicates()
+
+
+def q_linking_unlinked(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, LINK_ALIASES)
+    return unlinked_only(m, aliases).select("doc_id", "entity").dropDuplicates()
+
+
+def q_canonical_mentions(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, [(n, e) for n, _t2, e in DOCS_GAZETTEER])
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    edges = spark.createDataFrame(
+        [("ORG_VECTOR", "ORG_SPARK"), ("LOC_STREAM", "LOC_WINDOW")], "src string, dst string"
+    )
+    canon = canonicalize_entities(linked, edges)
+    return canon.select("doc_id", "canon_id").dropDuplicates()
+
+
+def _doc_triples(spark, sf_dir):
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, [(n, e) for n, _t2, e in DOCS_GAZETTEER])
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    edges = spark.createDataFrame(
+        [("ORG_VECTOR", "ORG_SPARK"), ("LOC_STREAM", "LOC_WINDOW")], "src string, dst string"
+    )
+    canon = canonicalize_entities(linked, edges)
+    return build_triples(canon, id_col="doc_id")
+
+
+def q_triples_flagship(spark, sf_dir):
+    return triple_counts(_doc_triples(spark, sf_dir))
+
+
+def q_top_entities_per_type(spark, sf_dir):
+    m = mention_sets(_doc_mentions(spark, sf_dir).withColumnRenamed("doc_id", "url"))
+    freq = m.groupBy("type", "entity").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("type").orderBy(F.desc("n_docs"), F.asc("entity"))
+    return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
+
+
+def q_ner_model_gp(spark, sf_dir):
+    """Model-path mentions (SeededTinyEncoder + GlobalPointer head) —
+    deterministic but not SQL-expressible (rows-only driver check; exact
+    span parity vs the single-process oracle is covered by pytest)."""
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    cfg = NerConfig(classes=["person", "location", "organization"], model_type="gp")
+    m = detect_mentions(docs.withColumn("url", F.col("doc_id").cast("string")), cfg)
+    return m.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("entity").alias("n_surfaces"),
+    )
+
+
+def q_ner_model_bp(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").limit(50)
+    cfg = NerConfig(
+        classes=["person", "location", "organization"], model_type="bp", logit_bias=-2.0
+    )
+    m = detect_mentions(docs.withColumn("url", F.col("doc_id").cast("string")), cfg)
+    return m.groupBy("type").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.countDistinct("entity").alias("n_surfaces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text-analysis / dedup / similarity queries
+
+
+def q_doc_token_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("int").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("int").alias("bpe_tokens"),
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_doc_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dd.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), SIMHASH_MAX_HAMMING)
+
+
+def q_dedup_clusters_cc(spark, sf_dir):
+    pairs = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    return connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_neardup_embedding_cosine(spark, sf_dir):
+    return dd.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
+
+
+def q_ann_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_topk_bruteforce(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_topk_lsh(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
+
+
+def q_ivf_assign(spark, sf_dir):
+    return sim.ivf_assign(_t(spark, sf_dir, "embeddings"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_media_features(media)
+    return feats.select("media_id", "n_bytes", "digest64")
+
+
+# ---------------------------------------------------------------------------
+# relational core (TPC-H-ish) queries
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_project(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+def q_join_broadcast(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dim = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        c.join(F.broadcast(dim), c.c_nationkey == dim.n_nationkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+def q_join_shuffle_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+    return rev.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10)
+
+
+def q_semi_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return (
+        with_orders.join(F.broadcast(n), with_orders.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def q_agg_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_sort_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+    )
+
+
+def q_union_distinct(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 9000).select(F.col("c_custkey").alias("custkey"))
+    big = o.where(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return rich.union(big).distinct()
+
+
+def q_rollup_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gaps = e.withColumn(
+        "new_session",
+        (epoch - F.lag(epoch, 1).over(w) > 1800).cast("int"),
+    )
+    return gaps.groupBy("user_id").agg(
+        (F.coalesce(F.sum("new_session"), F.lit(0)) + 1).cast("int").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("hour", F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("hour", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_triples_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # KG pipeline (SURVEY.md §2 P3/P5/D1-D4 + §7 linking/CC/triples)
+        "ner_mentions": q_ner_mentions,
+        "ner_mention_positions": q_ner_mention_positions,
+        "ner_model_gp": q_ner_model_gp,
+        "ner_model_bp": q_ner_model_bp,
+        "entity_linking": q_entity_linking,
+        "linking_unlinked": q_linking_unlinked,
+        "canonical_mentions": q_canonical_mentions,
+        "triples_flagship": q_triples_flagship,
+        "top_entities_per_type": q_top_entities_per_type,
+        # training-data pipeline
+        "doc_token_counts": q_doc_token_counts,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_quality": q_doc_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters_cc": q_dedup_clusters_cc,
+        "neardup_embedding_cosine": q_neardup_embedding_cosine,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "ivf_assign": q_ivf_assign,
+        "multimodal_features": q_multimodal_features,
+        # relational core
+        "q1_pricing_summary": q1_pricing_summary,
+        "filter_project": q_filter_project,
+        "join_broadcast": q_join_broadcast,
+        "join_shuffle_revenue": q_join_shuffle_revenue,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "agg_distinct": q_agg_distinct,
+        "window_rank": q_window_rank,
+        "sort_topk": q_sort_topk,
+        "union_distinct": q_union_distinct,
+        "rollup_events": q_rollup_events,
+        "events_sessions": q_events_sessions,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gaz = _gaz_values_sql()
+    canon = _canon_values_sql()
+    alias_rows = ", ".join(f"('{s}', '{e}')" for s, e in LINK_ALIASES)
+    aliases = f"(VALUES {alias_rows}) AS al(surface, entity_id)"
+
+    mentions_cte = f"""
+        mentions AS (
+            SELECT d.doc_id, gaz.type, gaz.name AS entity, gaz.entity_id,
+                   (strpos(d.text, gaz.name) - 1)::INT AS first_pos
+            FROM documents d JOIN {gaz} ON strpos(d.text, gaz.name) > 0
+        )"""
+
+    # jaccard pairs CTE shared by three oracles
+    jacc_pairs = f"""
+        dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+        sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM dn),
+        sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+            FROM sh a JOIN sh b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        jp AS (
+            SELECT id_a, id_b,
+                   round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+        )"""
+
+    k, bands = dd.MINHASH_K, dd.MINHASH_BANDS
+    rpb = k // bands
+    mh_terms = []
+    for i in range(k):
+        seeded = "shingle || '#%d'" % i
+        mh_terms.append(f"min({_H64.format(x=seeded)}) AS mh_{i}")
+    mh_mins = ", ".join(mh_terms)
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, md5("
+        + " || '|' || ".join(f"mh_{b * rpb + j}::VARCHAR" for j in range(rpb))
+        + ") AS bh FROM sig"
+        for b in range(bands)
+    )
+
+    bits = dd.SIMHASH_BITS
+    sim_sums = ", ".join(
+        f"sum(((h >> {j}) & 1) * 2 - 1) AS s_{j}" for j in range(bits)
+    )
+    sim_sig = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+
+    cos_cte = f"""
+        e AS (SELECT vec_id, embedding AS v, {_norm_sql('embedding')} AS nrm
+              FROM embeddings)"""
+
+    planes = sim.lsh_planes()
+    bucket_sql_parts = [
+        f"(CASE WHEN {_plane_dot_sql('v', list(planes[p]))} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(len(planes))
+    ]
+    bucket_sql = " + ".join(bucket_sql_parts)
+
+    cents = sim.ivf_centroids()
+    cell_score = lambda ci: f"({_plane_dot_sql('embedding', list(cents[ci]))} / {_norm_sql('embedding')})"  # noqa: E731
+    cell_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {ci} AS cell, {cell_score(ci)} AS score FROM embeddings"
+        for ci in range(len(cents))
+    )
+
+    pred_case = _pred_case_sql()
+
+    return {
+        "ner_mentions": f"""
+            WITH {mentions_cte.strip()}
+            SELECT DISTINCT doc_id, type, entity FROM mentions
+        """,
+        "ner_mention_positions": f"""
+            WITH {mentions_cte.strip()}
+            SELECT doc_id, type, entity, first_pos FROM mentions
+        """,
+        "entity_linking": f"""
+            WITH {mentions_cte.strip()}
+            SELECT DISTINCT m.doc_id, m.entity, al.entity_id
+            FROM mentions m JOIN {aliases} ON al.surface = m.entity
+        """,
+        "linking_unlinked": f"""
+            WITH {mentions_cte.strip()}
+            SELECT DISTINCT m.doc_id, m.entity
+            FROM mentions m ANTI JOIN {aliases} ON al.surface = m.entity
+        """,
+        "canonical_mentions": f"""
+            WITH {mentions_cte.strip()}
+            SELECT DISTINCT m.doc_id, canon.canon_id
+            FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+        """,
+        "triples_flagship": f"""
+            WITH {mentions_cte.strip()},
+            cm AS (
+                SELECT m.doc_id, canon.canon_id, m.type AS etype,
+                       min(m.first_pos) AS first_pos
+                FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+                GROUP BY m.doc_id, canon.canon_id, m.type
+            )
+            SELECT a.canon_id AS subj, {pred_case} AS pred, b.canon_id AS obj,
+                   count(*) AS n_docs
+            FROM cm a JOIN cm b ON a.doc_id = b.doc_id
+             AND (a.first_pos < b.first_pos
+                  OR (a.first_pos = b.first_pos AND a.canon_id < b.canon_id))
+            GROUP BY 1, 2, 3
+        """,
+        "top_entities_per_type": f"""
+            WITH {mentions_cte.strip()},
+            freq AS (
+                SELECT type, entity, count(DISTINCT doc_id) AS n_docs
+                FROM mentions GROUP BY 1, 2
+            )
+            SELECT type, entity, n_docs, rk FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY type ORDER BY n_docs DESC, entity ASC) AS rk
+                FROM freq
+            ) WHERE rk <= 2
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   (CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+')) END)::INT AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]'))::INT AS bpe_tokens
+            FROM documents
+        """,
+        # doc_lang_id / doc_quality are generated in _textstat_oracles()
+        "doc_fingerprint": f"""
+            SELECT doc_id, {_H64.format(x=_NORM_SQL)} AS fingerprint FROM documents
+        """,
+        "dedup_exact": f"""
+            SELECT {_H64.format(x=_NORM_SQL)} AS fingerprint,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {jacc_pairs.strip()}
+            SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH {jacc_pairs.strip()},
+            sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id),
+            buckets AS ({band_rows}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b, coalesce(jp.jaccard, 0) AS jaccard
+            FROM cand c LEFT JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
+            WHERE coalesce(jp.jaccard, 0) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_simhash": f"""
+            WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+            words AS (SELECT doc_id, unnest(w) AS word FROM dn),
+            hashed AS (SELECT doc_id, {_H64.format(x='word')} AS h FROM words WHERE word != ''),
+            sums AS (SELECT doc_id, {sim_sums} FROM hashed GROUP BY doc_id),
+            sig AS (SELECT doc_id, ({sim_sig})::BIGINT AS simhash FROM sums)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+        """,
+        "dedup_clusters_cc": f"""
+            WITH RECURSIVE {jacc_pairs.strip()},
+            pairs AS (SELECT id_a, id_b FROM jp WHERE jaccard >= {JACCARD_THRESHOLD}),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(a, b) AS (
+                SELECT a, b FROM edges
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+                WHERE r.a != e.b
+            )
+            SELECT a AS doc_id, least(a, min(b)) AS canon_id FROM reach GROUP BY a
+        """,
+        "neardup_embedding_cosine": f"""
+            WITH {cos_cte.strip()}
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 4) >= {COSINE_THRESHOLD}
+        """,
+        "ann_topk": f"""
+            WITH {cos_cte.strip()},
+            q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq FROM e WHERE vec_id < {ANN_QUERIES}),
+            scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       {_dot_sql('q.vq', 'e.v')} / (q.nq * e.nrm) AS cosine
+                FROM q JOIN e ON e.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}
+        """,
+        "ann_topk_lsh": f"""
+            WITH eb AS (
+                SELECT vec_id, embedding AS v, {_norm_sql('embedding')} AS nrm,
+                       ({bucket_sql}) AS bucket
+                FROM embeddings
+            ),
+            q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, bucket FROM eb WHERE vec_id < {ANN_QUERIES}),
+            scored AS (
+                SELECT q.query_id, eb.vec_id AS neighbor_id,
+                       {_dot_sql('q.vq', 'eb.v')} / (q.nq * eb.nrm) AS cosine
+                FROM q JOIN eb ON eb.bucket = q.bucket AND eb.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}
+        """,
+        "ivf_assign": f"""
+            WITH scores AS ({cell_rows})
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+                FROM scores
+            ) WHERE rk = 1
+        """,
+        "multimodal_features": f"""
+            SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,
+                   ('0x' || substr(md5(text), 1, 14))::BIGINT AS digest64
+            FROM documents
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_project": """
+            SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+            FROM orders WHERE o_totalprice > 400000
+        """,
+        "join_broadcast": """
+            SELECT r_name AS region_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r_name
+        """,
+        "join_shuffle_revenue": """
+            SELECT s_suppkey, s_name, revenue, rk FROM (
+                SELECT s_suppkey, s_name,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                       row_number() OVER (ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, s_suppkey ASC) AS rk
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY s_suppkey, s_name
+            ) WHERE rk <= 10
+        """,
+        "semi_join": """
+            SELECT n_name AS nation_name, count(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n_name
+        """,
+        "anti_join": """
+            SELECT n_name AS nation_name, count(*) AS n_customers
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY n_name
+        """,
+        "agg_distinct": """
+            SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+                   count(*) AS n_customers
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "window_rank": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+                SELECT o_custkey, o_orderkey, row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "sort_topk": """
+            SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 100
+        """,
+        "union_distinct": """
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+            UNION
+            SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "rollup_events": """
+            SELECT event_type, day, count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
+            GROUP BY ROLLUP (event_type, day)
+        """,
+        "events_sessions": """
+            WITH g AS (
+                SELECT user_id,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            )
+            SELECT user_id, (sum(new_session) + 1)::INT AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+    } | _textstat_oracles()
+
+
+def _textstat_oracles() -> dict[str, str]:
+    from entity_extractor_by_pointer_spark.functions.textstats import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lg: f"len(regexp_extract_all(text, '{LANG_STOPWORDS[lg]}'))" for lg in langs}
+    mx = "greatest(" + ", ".join(f"h_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lg} = {mx} THEN '{lg}'" for lg in langs
+    ) + " END"
+    hit_cols = ", ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    quality = r"""
+        SELECT doc_id, round(
+            0.4 * least(length(text) / 500.0, 1.0)
+          + 0.3 * least(len(regexp_extract_all(text, '\b(the|a|an|of|and|to|in|is|was)\b'))
+                        / greatest(CASE WHEN trim(text) = '' THEN 0
+                                        ELSE len(string_split_regex(trim(text), '\s+')) END, 1) * 4.0, 1.0)
+          + 0.3 * (1.0 - least(len(regexp_extract_all(text, '[^\w\s]'))
+                               / greatest(length(text), 1) * 5.0, 1.0)), 4) AS quality
+        FROM documents
     """
-    return {}
+    return {
+        "doc_lang_id": f"""
+            WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
+            SELECT doc_id, {case} AS pred_lang FROM h
+        """,
+        "doc_quality": quality,
+    }

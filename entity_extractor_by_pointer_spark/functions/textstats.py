@@ -1,0 +1,92 @@
+"""Text-analysis column builders — JVM-side expressions only (no UDFs).
+
+Training-data-pipeline primitives over a document/text column: token
+counting, language ID (stopword heuristic), quality scoring, and
+64-bit document fingerprints. Everything here compiles to built-in
+Catalyst expressions (whole-stage codegen, predicate-pushdown friendly)
+and has an exact DuckDB SQL mirror in ``__spark_entry__.oracle_sql`` —
+md5 is the shared cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language → stopword alternation (word-boundary regex, shared with SQL)
+LANG_STOPWORDS: dict[str, str] = {
+    "en": r"\b(the|a|an|of|and|to|in|is|was)\b",
+    "de": r"\b(der|die|das|und|ist|ein|zu|den)\b",
+    "es": r"\b(el|la|los|las|y|es|un|una|de)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|du|des)\b",
+    "zh": r"(的|是|在|了|和|有)",
+}
+
+
+def norm_text(col: Column) -> Column:
+    """lower + collapse whitespace + trim — the dedup normalization."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def ws_token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish subword count: alnum runs are split into ≤4-char pieces,
+    every other non-space char is one token. Regex shared with the oracle:
+    ``[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]``."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(LANG_STOPWORDS[lang]), F.lit(0)))
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by stopword-hit count; ties go to the alphabetically
+    first code; 'und' when nothing matches. Expressed as a CASE chain in
+    alphabetical order so the DuckDB oracle can mirror it verbatim."""
+    langs = sorted(LANG_STOPWORDS)
+    hits = {lg: stopword_hits(col, lg) for lg in langs}
+    mx = F.greatest(*hits.values())
+    expr = F.when(mx == 0, F.lit("und"))
+    for lg in langs:
+        expr = expr.when(hits[lg] == mx, F.lit(lg))
+    return expr
+
+
+def punct_ratio(col: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), F.lit(0)))
+    return n_punct / F.greatest(F.length(col), F.lit(1))
+
+
+def mean_word_len(col: Column) -> Column:
+    t = F.trim(col)
+    n = ws_token_count(col)
+    chars = F.length(F.regexp_replace(t, r"\s+", ""))
+    return chars / F.greatest(n, F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic in [0, ~1]: rewards mid-length docs, real
+    words, low punctuation noise. Rounded to 4 decimals for cross-engine
+    hash stability."""
+    length_term = F.least(F.length(col) / F.lit(500.0), F.lit(1.0))
+    stop_term = F.least(stopword_hits(col, "en") / F.greatest(ws_token_count(col), F.lit(1)) * 4.0, F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return F.round(0.4 * length_term + 0.3 * stop_term + 0.3 * punct_term, 4)
+
+
+def md5_int64(col: Column) -> Column:
+    """First 15 hex digits of md5 as a non-negative int64 — the shared
+    cross-engine 60-bit hash. DuckDB mirror:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint64(col: Column) -> Column:
+    """Document fingerprint: md5-int64 of normalized text."""
+    return md5_int64(norm_text(col))

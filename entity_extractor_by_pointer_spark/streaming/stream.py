@@ -1,0 +1,97 @@
+"""Structured Streaming variant of the mention pipeline.
+
+Continuous-crawl mode: new page files land in a directory (stand-in for a
+Kafka/WARC feed), mention detection runs as the same stateless mapInPandas
+stage used in batch, and a watermarked tumbling-window aggregation counts
+mentions per entity type over ``warc_ts`` (late pages beyond the watermark
+are dropped, exactly-once per micro-batch via the checkpoint dir).
+
+The stateless stage is shared with batch — Structured Streaming reuses the
+incremental Catalyst plan, so batch/stream parity is a test assertion, not a
+hope (`tests/test_streaming.py` runs both on the same input).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.gazetteer import PAGES_GAZETTEER, gazetteer_spans
+from ..sources.pages import PAGES_SCHEMA
+
+STREAM_MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("type", T.StringType(), False),
+        T.StructField("entity", T.StringType(), False),
+    ]
+)
+
+
+def _mention_stage(df: DataFrame, gazetteer, max_tokens: int) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                for etype, surface, _s, _e in gazetteer_spans(text or "", gazetteer, max_tokens):
+                    rows.append((url, ts, etype, surface))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "type", "entity"])
+
+    return df.select("url", "warc_ts", "text").mapInPandas(run, STREAM_MENTIONS_SCHEMA)
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, max_files_per_trigger: int = 4) -> DataFrame:
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def windowed_type_counts(
+    pages: DataFrame,
+    gazetteer=None,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    max_tokens: int = 200,
+) -> DataFrame:
+    """pages (batch OR stream) → mention counts per (window, type)."""
+    mentions = _mention_stage(pages, gazetteer or PAGES_GAZETTEER, max_tokens)
+    return (
+        mentions.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), "type")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "type",
+            "n_mentions",
+        )
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_table: str = "stream_counts",
+    **kwargs,
+) -> None:
+    """Drain everything currently in ``pages_dir`` (availableNow trigger)
+    into an in-memory sink named ``out_table``; resumable via checkpoint."""
+    stream = read_pages_stream(spark, pages_dir)
+    counts = windowed_type_counts(stream, **kwargs)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
