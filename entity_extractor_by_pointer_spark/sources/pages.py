@@ -88,8 +88,12 @@ def render_html(text: str, title: str) -> bytes:
     ).encode("utf-8")
 
 
-def generate_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
-    base = spark.range(0, n, numPartitions=partitions) if partitions else spark.range(0, n)
+def generate_pages(
+    spark: SparkSession, n: int, partitions: int | None = None, start: int = 0
+) -> DataFrame:
+    base = (
+        spark.range(start, n, numPartitions=partitions) if partitions else spark.range(start, n)
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -100,7 +104,9 @@ def generate_pages(spark: SparkSession, n: int, partitions: int | None = None) -
                 rows.append(
                     {
                         "url": f"https://example.org/page/{idx}",
-                        "warc_ts": _EPOCH + dt.timedelta(seconds=idx),
+                        # spread crawl timestamps ~2.3 min apart so windowed
+                        # aggregations see multiple hourly windows
+                        "warc_ts": _EPOCH + dt.timedelta(seconds=idx * 137),
                         "html": render_html(text, f"Page {idx}"),
                         "text": text,
                         "lang": "zh" if idx % 5 else "en",

@@ -83,11 +83,18 @@ def run_stream_once(
     **kwargs,
 ) -> None:
     """Drain everything currently in ``pages_dir`` (availableNow trigger)
-    into an in-memory sink named ``out_table``; resumable via checkpoint."""
+    into an in-memory sink named ``out_table``; resumable via checkpoint.
+
+    Complete output mode: every drain emits the full windowed state, so a
+    resumed query's output includes windows whose input files were processed
+    (and checkpointed) by earlier drains without re-reading them. Append
+    mode + watermark is the production choice for an unbounded sink; for a
+    drain-and-stop crawl ingest, complete mode gives exact batch parity.
+    """
     stream = read_pages_stream(spark, pages_dir)
     counts = windowed_type_counts(stream, **kwargs)
     q = (
-        counts.writeStream.outputMode("append")
+        counts.writeStream.outputMode("complete")
         .format("memory")
         .queryName(out_table)
         .option("checkpointLocation", checkpoint_dir)

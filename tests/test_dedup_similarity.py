@@ -1,0 +1,104 @@
+import numpy as np
+
+from entity_extractor_by_pointer_spark.operators import dedup as dd
+from entity_extractor_by_pointer_spark.operators import similarity as sim
+from entity_extractor_by_pointer_spark.operators.canonicalize import connected_components
+
+
+def _docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 1
+        (3, "alpha beta gamma delta epsilon zeta eta IOTA"),  # near dup of 1
+        (4, "completely different words entirely here now okay yes"),
+        (5, "ALPHA  beta gamma delta epsilon zeta eta theta"),  # ws/case dup of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_normalized_duplicates(spark):
+    groups = dd.dedup_exact(_docs(spark)).collect()
+    by_keep = {r["keep_id"]: r["n_dups"] for r in groups}
+    assert by_keep[1] == 3  # docs 1, 2, 5 share a normalized fingerprint
+    assert by_keep[3] == 1 and by_keep[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dd.ngram_jaccard_pairs(_docs(spark), 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0 and pairs[(1, 5)] == 1.0 and pairs[(2, 5)] == 1.0
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(_docs(spark), 0.5).collect()}
+    assert {(1, 2), (1, 5), (2, 5)} <= pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_blocking_is_lossless(spark):
+    """Pigeonhole blocking must find every pair that exact O(n²) finds."""
+    docs = _docs(spark)
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash_signatures(docs).collect()}
+    exact = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                exact.add((a, b))
+    blocked = {(r["id_a"], r["id_b"]) for r in dd.simhash_pairs(docs, 3).collect()}
+    assert blocked == exact
+    assert (1, 2) in blocked  # identical text → identical signature
+
+
+def test_connected_components_multi_hop(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
+    )
+    cc = {r["id"]: r["canon_id"] for r in connected_components(edges).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+    assert "f" not in cc  # self-loop only → no edge → not a component member
+
+
+def test_connected_components_long_chain(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "src string, dst string"
+    )
+    cc = {r["id"]: r["canon_id"] for r in connected_components(edges).collect()}
+    assert set(cc.values()) == {"n00"}
+    assert len(cc) == n + 1
+
+
+def test_ann_bruteforce_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = sim.ann_topk_bruteforce(df, df.where("vec_id < 3"), k=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = v @ v.T
+    for q in range(3):
+        order = sorted(
+            (i for i in range(40) if i != q),
+            key=lambda i: (-s[q, i], i),
+        )[:4]
+        assert [n for _rk, n in sorted(by_q[q])] == order
+
+
+def test_ivf_assign_covers_all_vectors(spark):
+    rng = np.random.default_rng(6)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=64)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cells = sim.ivf_assign(df).collect()
+    assert len(cells) == 30
+    assert all(0 <= r["cell"] < sim.IVF_CELLS for r in cells)

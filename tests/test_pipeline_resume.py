@@ -1,0 +1,46 @@
+import shutil
+
+from entity_extractor_by_pointer_spark.plans.pipeline import KgPipeline
+from entity_extractor_by_pointer_spark.sources.pages import generate_pages
+
+
+def _triples(counts_df):
+    return sorted(tuple(r) for r in counts_df.collect())
+
+
+def test_pipeline_deterministic_and_resumable(spark, tmp_path):
+    pages = generate_pages(spark, 120, partitions=6)
+
+    wd1 = str(tmp_path / "run1")
+    out1 = _triples(KgPipeline(spark, wd1, "r1").run(pages))
+    assert out1, "pipeline produced no triples"
+
+    # determinism: fresh run, same input → identical triples
+    wd2 = str(tmp_path / "run2")
+    out2 = _triples(KgPipeline(spark, wd2, "r2").run(pages))
+    assert out1 == out2
+
+    # kill/resume: destroy the LAST two stage outputs of run1, resume —
+    # earlier stages must be reused (lineage intact), result identical
+    for stage in ("triples", "triple_counts"):
+        shutil.rmtree(f"{wd1}/{stage}", ignore_errors=True)
+    pipe = KgPipeline(spark, wd1, "r1-resume")
+    assert pipe.writer.is_done("mentions")
+    assert not pipe.writer.is_done("triples")
+    out3 = _triples(pipe.run(pages, resume=True))
+    assert out3 == out1
+
+
+def test_lineage_and_metrics_written(spark, tmp_path):
+    pages = generate_pages(spark, 60, partitions=4)
+    wd = str(tmp_path / "runL")
+    pipe = KgPipeline(spark, wd, "rL")
+    pipe.run(pages)
+    lineage = pipe.writer.read_lineage()
+    stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
+    assert {"pages", "mentions", "linked", "canonical", "triples", "triple_counts"} <= stages
+    # per-partition rows recorded
+    assert lineage.where("rows_out > 0").count() > 0
+    metrics = pipe.writer.read_metrics()
+    keys = {r["key"] for r in metrics.select("key").distinct().collect()}
+    assert {"rows_out", "seconds", "triples_per_sec"} <= keys

@@ -1,0 +1,37 @@
+"""North-rule enforcement: no per-row Python UDFs anywhere in the package
+(SURVEY.md §4 item 4) — only pandas_udf / mapInPandas / built-in exprs."""
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "entity_extractor_by_pointer_spark"
+
+
+def test_no_row_at_a_time_udfs():
+    bad = []
+    for path in PKG.rglob("*.py"):
+        src = path.read_text(encoding="utf-8")
+        # F.udf( / udf( as a call, excluding pandas_udf
+        for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
+            line = src[: m.start()].count("\n") + 1
+            bad.append(f"{path.name}:{line}")
+        if re.search(r"\.rdd\b", src):
+            bad.append(f"{path.name}: uses .rdd")
+        if re.search(r"\bmapPartitions\b", src):
+            bad.append(f"{path.name}: uses RDD mapPartitions")
+    assert not bad, f"row-at-a-time/RDD API found: {bad}"
+
+
+def test_no_collect_in_operator_hot_paths():
+    """Driver-side collect loops mean an operator isn't distributed. The only
+    sanctioned collects: canonicalize's convergence COUNT (an aggregate),
+    lineage bookkeeping, and the pipeline's invariant check (an aggregate)."""
+    allowed = {"canonicalize.py", "lineage.py", "pipeline.py", "evaluate.py"}
+    bad = []
+    for path in PKG.rglob("*.py"):
+        if path.name in allowed:
+            continue
+        src = path.read_text(encoding="utf-8")
+        if re.search(r"\.collect\(\)", src):
+            bad.append(path.name)
+    assert not bad, f"unexpected .collect() in: {bad}"
