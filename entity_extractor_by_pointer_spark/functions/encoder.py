@@ -31,18 +31,18 @@ class SeededTinyEncoder:
     def __init__(self, hidden_size: int = 64, seed: int = 3):
         rng = np.random.default_rng(seed)
         self.hidden_size = hidden_size
-        self.emb = rng.normal(0, 1.0, (EMB_BUCKETS, hidden_size))
+        self.emb = rng.normal(0, 1.0, (EMB_BUCKETS, hidden_size)).astype(np.float32)
 
     def __call__(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         ids = np.asarray(input_ids) % EMB_BUCKETS
-        h = self.emb[ids]  # (B, L, H)
+        h = self.emb[ids]  # (B, L, H) float32
         # fixed causal/anticausal mixing so states are context-dependent
         left = np.roll(h, 1, axis=1)
         left[:, 0, :] = 0.0
         right = np.roll(h, -1, axis=1)
         right[:, -1, :] = 0.0
-        h = h + 0.5 * left + 0.25 * right
-        return h * np.asarray(attention_mask)[..., None]
+        h = h + np.float32(0.5) * left + np.float32(0.25) * right
+        return h * np.asarray(attention_mask, dtype=np.float32)[..., None]
 
 
 def load_torch_bert_encoder(model_name: str = "bert-base-chinese"):

@@ -79,31 +79,49 @@ def add_mask_tril(logits: np.ndarray, mask: np.ndarray) -> np.ndarray:
 
 
 class GlobalPointerHead:
-    """EffiGlobalPointer head: hidden states → (B, C, L, L) span logits."""
+    """EffiGlobalPointer head: hidden states → (B, C, L, L) span logits.
+
+    Runs in float32 (like the reference's torch-default tensors) and applies
+    padding/tril exclusion as a single ADDITIVE penalty pass instead of the
+    reference's multiplicative ``x*mask + (−1e12)(1−mask)`` — on every valid
+    (unmasked, start ≤ end) cell the logit is bit-identical, and invalid
+    cells stay ≤ −1e12, so decoded spans and their scores are unchanged
+    while the (B, C, L, L) tensor is touched once, not six times.
+    ``add_mask_tril`` above remains the reference-exact spec; the
+    equivalence is pinned by ``tests/test_heads.py``.
+    """
 
     def __init__(self, hidden_size: int, num_labels: int, seed: int = 7, rope: bool = True):
         rng = np.random.default_rng(seed)
         scale = 1.0 / np.sqrt(hidden_size)
-        self.w1 = rng.normal(0, scale, (hidden_size, INNER_DIM * 2))
-        self.b1 = rng.normal(0, 0.02, (INNER_DIM * 2,))
-        self.w2 = rng.normal(0, scale, (hidden_size, num_labels * 2))
-        self.b2 = rng.normal(0, 0.02, (num_labels * 2,))
+        self.w1 = rng.normal(0, scale, (hidden_size, INNER_DIM * 2)).astype(np.float32)
+        self.b1 = rng.normal(0, 0.02, (INNER_DIM * 2,)).astype(np.float32)
+        self.w2 = rng.normal(0, scale, (hidden_size, num_labels * 2)).astype(np.float32)
+        self.b2 = rng.normal(0, 0.02, (num_labels * 2,)).astype(np.float32)
         self.rope = rope
         self.num_labels = num_labels
 
     def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         # hidden: (B, L, H); attention_mask: (B, L)
+        hidden = hidden.astype(np.float32, copy=False)
         seq_len = hidden.shape[1]
         out = hidden @ self.w1 + self.b1  # (B, L, 2*inner)
         qw, kw = out[..., ::2], out[..., 1::2]  # interleaved split (ref :69)
         if self.rope:
-            pos = sinusoidal_position_embedding(seq_len, INNER_DIM)
+            pos = sinusoidal_position_embedding(seq_len, INNER_DIM).astype(np.float32)
             qw = apply_rope(qw, pos)
             kw = apply_rope(kw, pos)
-        logits = np.einsum("bmd,bnd->bmn", qw, kw) / INNER_DIM**0.5
-        dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) / 2  # (B, 2C, L)
+        qw = np.ascontiguousarray(qw)
+        kw = np.ascontiguousarray(kw)
+        logits = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)
+        dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) * np.float32(0.5)  # (B, 2C, L)
         logits = logits[:, None] + dense[:, ::2, None] + dense[:, 1::2, :, None]
-        return add_mask_tril(logits, attention_mask)
+        # additive penalty: padding rows/cols and the strict lower triangle
+        m = attention_mask.astype(np.float32)
+        valid = m[:, :, None] * m[:, None, :]  # (B, L, L)
+        valid *= np.triu(np.ones((seq_len, seq_len), dtype=np.float32))
+        logits += ((valid - 1.0) * np.float32(NEG_INF))[:, None]
+        return logits
 
 
 class BinaryPointerHead:
@@ -112,10 +130,10 @@ class BinaryPointerHead:
     def __init__(self, hidden_size: int, num_labels: int, seed: int = 11):
         rng = np.random.default_rng(seed)
         scale = 1.0 / np.sqrt(hidden_size)
-        self.gamma = rng.normal(1.0, 0.02, (hidden_size,))
-        self.beta = rng.normal(0.0, 0.02, (hidden_size,))
-        self.w = rng.normal(0, scale, (hidden_size, 2 * num_labels))
-        self.b = rng.normal(0, 0.02, (2 * num_labels,))
+        self.gamma = rng.normal(1.0, 0.02, (hidden_size,)).astype(np.float32)
+        self.beta = rng.normal(0.0, 0.02, (hidden_size,)).astype(np.float32)
+        self.w = rng.normal(0, scale, (hidden_size, 2 * num_labels)).astype(np.float32)
+        self.b = rng.normal(0, 0.02, (2 * num_labels,)).astype(np.float32)
         self.num_labels = num_labels
 
     def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:

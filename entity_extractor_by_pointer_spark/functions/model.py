@@ -70,15 +70,29 @@ class PointerNerModel:
             return []
         input_ids, attention_mask, offsets = self._encode_batch(texts)
         hidden = self.encoder(input_ids, attention_mask)
-        logits = self.head(hidden, attention_mask) + self.config.logit_bias
+        bias = np.float32(self.config.logit_bias)
         out: list[list[Span]] = []
         if self.config.model_type == "gp":
-            # re-assert the mask after the bias shift (bias must not revive
-            # −1e12 cells; at −1e12 ± 4 they stay far below 0, so this is
-            # purely defensive)
+            # Per-doc length cropping: every cell with start/end beyond the
+            # doc's true token count is −1e12-masked in the full (C, L, L)
+            # computation and can never decode, and all head ops are
+            # per-position, so computing only the (C, l, l) submatrix yields
+            # bit-identical surviving cells at ~ (l/L)² of the cost. The
+            # crop is per-document, hence independent of batch composition —
+            # the single-process oracle and the Spark UDF stay in exact
+            # agreement. (BP is NOT cropped: its decode quirk lets padded
+            # positions above the sigmoid threshold consume starts via the
+            # break rule — reference engines/data.py:98-106.)
+            lengths = attention_mask.sum(axis=1)
             for i, text in enumerate(texts):
-                out.append(decode_gp(text, logits[i], offsets[i]))
+                li = int(lengths[i])
+                logits = (
+                    self.head(hidden[i : i + 1, :li], attention_mask[i : i + 1, :li])[0]
+                    + bias
+                )
+                out.append(decode_gp(text, logits, offsets[i]))
         else:
+            logits = self.head(hidden, attention_mask) + bias
             for i, text in enumerate(texts):
                 out.append(
                     decode_bp(text, logits[i], offsets[i], self.config.decision_threshold)

@@ -12,7 +12,14 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+# Best-effort driver-side BLAS pinning (effective if this module is imported
+# before numpy's first BLAS init; executors are pinned via executorEnv below).
+# Single-threaded BLAS is required for bitwise-reproducible float32 scores —
+# the span-parity gate depends on it.
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+from pyspark.sql import SparkSession  # noqa: E402
 
 # ~256 docs/batch: GP logits are C·L²·8B ≈ 3·200·200·8 ≈ 1 MB/doc at C=3 —
 # decoded in-UDF and never serialized, but the batch still bounds peak RSS.
@@ -39,5 +46,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        # one BLAS thread per python worker: the workers ARE the parallelism;
+        # nested BLAS threading oversubscribes cores (~1.5× slowdown measured)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     return builder.getOrCreate()

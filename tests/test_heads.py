@@ -79,6 +79,35 @@ def test_gp_head_shapes_and_determinism():
     assert not np.allclose(GlobalPointerHead(16, 3, seed=8)(h, m), out1)
 
 
+def test_gp_fast_mask_equals_reference_spec():
+    """The head's single-pass additive penalty must match the reference's
+    multiplicative add_mask_tril (GlobalPointer.py:49-61) on every VALID
+    cell bit-for-bit, and keep every invalid cell ≤ −1e11."""
+    head = GlobalPointerHead(hidden_size=16, num_labels=2, seed=7)
+    rng = np.random.default_rng(3)
+    h = rng.normal(size=(2, 7, 16)).astype(np.float32)
+    mask = np.array([[1, 1, 1, 1, 1, 0, 0], [1, 1, 1, 0, 0, 0, 0]])
+    fast = head(h, mask)
+
+    # recompute raw logits without the penalty, then apply the exact spec
+    out = h @ head.w1 + head.b1
+    qw, kw = out[..., ::2], out[..., 1::2]
+    pos = sinusoidal_position_embedding(7, 64).astype(np.float32)
+    qw, kw = apply_rope(qw, pos), apply_rope(kw, pos)
+    raw = (np.ascontiguousarray(qw) @ np.ascontiguousarray(kw).transpose(0, 2, 1)) * np.float32(
+        1.0 / 8.0
+    )
+    dense = (h @ head.w2 + head.b2).transpose(0, 2, 1) * np.float32(0.5)
+    raw = raw[:, None] + dense[:, ::2, None] + dense[:, 1::2, :, None]
+    spec = add_mask_tril(raw, mask)
+
+    valid = np.broadcast_to(
+        (mask[:, :, None] * mask[:, None, :])[:, None] * np.triu(np.ones((7, 7))), fast.shape
+    )
+    assert np.array_equal(fast[valid == 1], spec[valid == 1])
+    assert (fast[valid == 0] < -1e11).all() and (spec[valid == 0] < -1e11).all()
+
+
 def test_bp_head_shape_and_interleave():
     head = BinaryPointerHead(hidden_size=16, num_labels=3, seed=11)
     h = np.random.default_rng(2).normal(size=(2, 5, 16))
