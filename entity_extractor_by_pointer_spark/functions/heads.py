@@ -101,8 +101,17 @@ class GlobalPointerHead:
         self.rope = rope
         self.num_labels = num_labels
 
-    def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
-        # hidden: (B, L, H); attention_mask: (B, L)
+    def raw_scores(self, hidden: np.ndarray) -> np.ndarray:
+        """(B, C, L, L) span scores WITHOUT the validity penalty.
+
+        On every valid cell this equals the reference-masked output
+        bit-for-bit (the penalty adds exactly 0.0 there). Callers that skip
+        the penalty must enforce validity at decode time — ``decode_gp``
+        already checks ``start ≤ end`` and offset-mapping membership, which
+        after per-doc cropping is precisely the valid set. Per-class planes
+        are filled with ``out=`` adds so the (L, L) working set stays
+        cache-resident instead of streaming (C+1) full tensors through DRAM.
+        """
         hidden = hidden.astype(np.float32, copy=False)
         seq_len = hidden.shape[1]
         out = hidden @ self.w1 + self.b1  # (B, L, 2*inner)
@@ -113,9 +122,21 @@ class GlobalPointerHead:
             kw = apply_rope(kw, pos)
         qw = np.ascontiguousarray(qw)
         kw = np.ascontiguousarray(kw)
-        logits = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)
+        qk = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)  # (B, L, L)
         dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) * np.float32(0.5)  # (B, 2C, L)
-        logits = logits[:, None] + dense[:, ::2, None] + dense[:, 1::2, :, None]
+        b, c = hidden.shape[0], self.num_labels
+        logits = np.empty((b, c, seq_len, seq_len), dtype=np.float32)
+        for bi in range(b):
+            for ci in range(c):
+                # end bias varies along columns, start bias along rows
+                np.add(qk[bi], dense[bi, 2 * ci][None, :], out=logits[bi, ci])
+                logits[bi, ci] += dense[bi, 2 * ci + 1][:, None]
+        return logits
+
+    def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        # hidden: (B, L, H); attention_mask: (B, L)
+        logits = self.raw_scores(hidden)
+        seq_len = logits.shape[-1]
         # additive penalty: padding rows/cols and the strict lower triangle
         m = attention_mask.astype(np.float32)
         valid = m[:, :, None] * m[:, None, :]  # (B, L, L)

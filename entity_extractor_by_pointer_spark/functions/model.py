@@ -86,10 +86,11 @@ class PointerNerModel:
             lengths = attention_mask.sum(axis=1)
             for i, text in enumerate(texts):
                 li = int(lengths[i])
-                logits = (
-                    self.head(hidden[i : i + 1, :li], attention_mask[i : i + 1, :li])[0]
-                    + bias
-                )
+                # raw (unpenalized) scores: after cropping, decode_gp's
+                # start≤end + offset-mapping checks enforce exactly the
+                # validity set the −1e12 penalty would, and valid-cell
+                # scores are bit-identical (see GlobalPointerHead.raw_scores)
+                logits = self.head.raw_scores(hidden[i : i + 1, :li])[0] + bias
                 out.append(decode_gp(text, logits, offsets[i]))
         else:
             logits = self.head(hidden, attention_mask) + bias

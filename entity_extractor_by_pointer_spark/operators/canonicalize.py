@@ -29,9 +29,34 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_every: int = 3,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(src, dst) undirected edges → (id, canon_id) with canon_id = min
-    member id (lexicographic) of each component."""
+    member id of each component.
+
+    Hybrid execution: if the (deduplicated) edge list fits comfortably on
+    the driver (≤ ``driver_threshold`` edges — the alias/duplicate graphs of
+    a KG run are orders of magnitude smaller than the mention table), run
+    union-find locally and broadcast the result: identical output, zero
+    iterative Spark jobs. Larger graphs take the distributed label-
+    propagation loop. Set ``driver_threshold=0`` to force the distributed
+    path (the tests exercise both).
+    """
+    if driver_threshold > 0:
+        sample = edges.limit(driver_threshold + 1).count()
+        if sample <= driver_threshold:
+            pairs = [
+                (r[0], r[1])
+                for r in edges.select(src, dst).where(F.col(src) != F.col(dst)).collect()
+            ]
+            comp = _union_find_min_label(pairs)
+            if not comp:
+                return edges.sparkSession.createDataFrame(
+                    [], f"id {dict(edges.dtypes)[src]}, canon_id {dict(edges.dtypes)[dst]}"
+                )
+            return edges.sparkSession.createDataFrame(
+                list(comp.items()), ["id", "canon_id"]
+            )
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -68,6 +93,29 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("canon_id"))
+
+
+def _union_find_min_label(pairs: list[tuple]) -> dict:
+    """Union-find with min-label roots; same result as converged min-label
+    propagation. Nodes appearing only in self-loops are excluded upstream."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
 
 
 def canonicalize_entities(

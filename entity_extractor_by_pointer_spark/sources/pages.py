@@ -56,14 +56,14 @@ _FILLER = [
 ]
 
 
-def _synth_text(idx: int) -> str:
+def _synth_text(idx: int, min_sents: int = 2, extra_sents: int = 3) -> str:
     """Deterministic page text for row ``idx`` (pure function, no RNG state)."""
     persons = [n for n, t, _ in PAGES_GAZETTEER if t == "person"]
     locs = [n for n, t, _ in PAGES_GAZETTEER if t == "location"]
     orgs = [n for n, t, _ in PAGES_GAZETTEER if t == "organization"]
     h = idx * 2654435761 % 2**32  # Knuth multiplicative hash
     sents = []
-    n_sents = 2 + h % 3
+    n_sents = min_sents + h % extra_sents
     for k in range(n_sents):
         hk = (h ^ (k * 0x9E3779B9)) % 2**32
         tmpl = _TEMPLATES[hk % len(_TEMPLATES)] if hk % 4 else _FILLER[hk % len(_FILLER)]
@@ -89,7 +89,12 @@ def render_html(text: str, title: str) -> bytes:
 
 
 def generate_pages(
-    spark: SparkSession, n: int, partitions: int | None = None, start: int = 0
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    start: int = 0,
+    min_sents: int = 2,
+    extra_sents: int = 3,
 ) -> DataFrame:
     base = (
         spark.range(start, n, numPartitions=partitions) if partitions else spark.range(start, n)
@@ -100,7 +105,7 @@ def generate_pages(
             rows = []
             for idx in pdf["id"]:
                 idx = int(idx)
-                text = _synth_text(idx)
+                text = _synth_text(idx, min_sents, extra_sents)
                 rows.append(
                     {
                         "url": f"https://example.org/page/{idx}",

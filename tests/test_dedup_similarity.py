@@ -51,24 +51,40 @@ def test_simhash_blocking_is_lossless(spark):
     assert (1, 2) in blocked  # identical text → identical signature
 
 
-def test_connected_components_multi_hop(spark):
+import pytest
+
+
+@pytest.mark.parametrize("thr", [100_000, 0], ids=["driver-unionfind", "distributed-loop"])
+def test_connected_components_multi_hop(spark, thr):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], "src string, dst string"
     )
-    cc = {r["id"]: r["canon_id"] for r in connected_components(edges).collect()}
+    cc = {r["id"]: r["canon_id"] for r in connected_components(edges, driver_threshold=thr).collect()}
     assert cc["a"] == cc["b"] == cc["c"] == "a"
     assert cc["d"] == cc["e"] == "d"
     assert "f" not in cc  # self-loop only → no edge → not a component member
 
 
-def test_connected_components_long_chain(spark):
+@pytest.mark.parametrize("thr", [100_000, 0], ids=["driver-unionfind", "distributed-loop"])
+def test_connected_components_long_chain(spark, thr):
     n = 12
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "src string, dst string"
     )
-    cc = {r["id"]: r["canon_id"] for r in connected_components(edges).collect()}
+    cc = {r["id"]: r["canon_id"] for r in connected_components(edges, driver_threshold=thr).collect()}
     assert set(cc.values()) == {"n00"}
     assert len(cc) == n + 1
+
+
+def test_connected_components_paths_agree(spark):
+    import random
+
+    rnd = random.Random(9)
+    edges_py = [(f"v{rnd.randrange(60)}", f"v{rnd.randrange(60)}") for _ in range(80)]
+    edges = spark.createDataFrame(edges_py, "src string, dst string")
+    fast = {(r["id"], r["canon_id"]) for r in connected_components(edges).collect()}
+    dist = {(r["id"], r["canon_id"]) for r in connected_components(edges, driver_threshold=0).collect()}
+    assert fast == dist
 
 
 def test_ann_bruteforce_matches_numpy(spark):
