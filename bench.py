@@ -108,7 +108,12 @@ def _mentions_worker(master: str, pages_path: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(pages_path)
     n_docs = df.count()  # warms the scan + session
-    cfg = NerConfig(classes=["person", "location", "organization"], model_type="gp")
+    # logit_bias −8 ⇒ ~10 spans per 1000 docs: a trained model's output is
+    # sparse, so the benchmark measures the tokenize→encode→score→decode
+    # compute, not pathological random-weight span serialization
+    cfg = NerConfig(
+        classes=["person", "location", "organization"], model_type="gp", logit_bias=-8.0
+    )
     # warm the python workers (spawn + numpy/model import + model build)
     # so the timed section measures steady-state throughput, not JIT costs
     detect_mentions(df.limit(2048).repartition(64), cfg).count()
@@ -135,7 +140,8 @@ def run_scaling(pages_path: str) -> dict:
     docs = spans = None
     for cores in SCALING_CORES:
         best = None
-        for _rep in range(2):
+        for _rep in range(3):  # best-of-3: the sandbox host shows heavy
+            # co-tenant CPU-steal variance (2-4x between adjacent runs)
             proc = subprocess.run(
                 [
                     sys.executable,

@@ -112,6 +112,22 @@ class GlobalPointerHead:
         are filled with ``out=`` adds so the (L, L) working set stays
         cache-resident instead of streaming (C+1) full tensors through DRAM.
         """
+        qk, dense = self.qk_and_bias(hidden)
+        b, seq_len = qk.shape[0], qk.shape[1]
+        c = self.num_labels
+        logits = np.empty((b, c, seq_len, seq_len), dtype=np.float32)
+        for bi in range(b):
+            for ci in range(c):
+                # end bias varies along columns, start bias along rows
+                np.add(qk[bi], dense[bi, 2 * ci][None, :], out=logits[bi, ci])
+                logits[bi, ci] += dense[bi, 2 * ci + 1][:, None]
+        return logits
+
+    def qk_and_bias(self, hidden: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per-position pieces of the score: (B, L, L) rotary q·k matrix and
+        the (B, 2C, L) start/end bias rows (reference GlobalPointer.py:87-91).
+        ``raw_scores`` / the fused decode loop assemble class planes from
+        these."""
         hidden = hidden.astype(np.float32, copy=False)
         seq_len = hidden.shape[1]
         out = hidden @ self.w1 + self.b1  # (B, L, 2*inner)
@@ -122,16 +138,9 @@ class GlobalPointerHead:
             kw = apply_rope(kw, pos)
         qw = np.ascontiguousarray(qw)
         kw = np.ascontiguousarray(kw)
-        qk = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)  # (B, L, L)
-        dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) * np.float32(0.5)  # (B, 2C, L)
-        b, c = hidden.shape[0], self.num_labels
-        logits = np.empty((b, c, seq_len, seq_len), dtype=np.float32)
-        for bi in range(b):
-            for ci in range(c):
-                # end bias varies along columns, start bias along rows
-                np.add(qk[bi], dense[bi, 2 * ci][None, :], out=logits[bi, ci])
-                logits[bi, ci] += dense[bi, 2 * ci + 1][:, None]
-        return logits
+        qk = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)
+        dense = (hidden @ self.w2 + self.b2).transpose(0, 2, 1) * np.float32(0.5)
+        return qk, dense
 
     def __call__(self, hidden: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         # hidden: (B, L, H); attention_mask: (B, L)

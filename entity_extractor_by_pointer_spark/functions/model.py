@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .decode import Span, decode_bp, decode_gp
+from .decode import Span, build_offset_maps, decode_bp
 from .encoder import SeededTinyEncoder
 from .heads import BinaryPointerHead, GlobalPointerHead
 from .tokenizer import CjkCharTokenizer, pad_or_truncate
@@ -84,14 +84,35 @@ class PointerNerModel:
             # positions above the sigmoid threshold consume starts via the
             # break rule — reference engines/data.py:98-106.)
             lengths = attention_mask.sum(axis=1)
+            num_labels = self.config.num_labels
+            buf: np.ndarray | None = None
             for i, text in enumerate(texts):
                 li = int(lengths[i])
-                # raw (unpenalized) scores: after cropping, decode_gp's
-                # start≤end + offset-mapping checks enforce exactly the
-                # validity set the −1e12 penalty would, and valid-cell
-                # scores are bit-identical (see GlobalPointerHead.raw_scores)
-                logits = self.head.raw_scores(hidden[i : i + 1, :li])[0] + bias
-                out.append(decode_gp(text, logits, offsets[i]))
+                # Fused score+decode per class plane: after cropping,
+                # decode's start≤end + offset-mapping checks enforce exactly
+                # the validity set the reference's −1e12 penalty would, and
+                # valid-cell scores (qk + end_bias + start_bias + logit_bias,
+                # float32, same op order as GlobalPointerHead.raw_scores) are
+                # bit-identical. The (L, L) plane is decoded while
+                # cache-resident — the (C, L, L) tensor never exists.
+                qk, dense = self.head.qk_and_bias(hidden[i : i + 1, :li])
+                if buf is None or buf.shape[0] < li:
+                    side = max(self.config.max_sequence_length, li)
+                    buf = np.empty((side, side), dtype=np.float32)
+                plane = buf[:li, :li]
+                start_mapping, end_mapping = build_offset_maps(offsets[i])
+                spans: list[Span] = []
+                for ci in range(num_labels):
+                    np.add(qk[0], dense[0, 2 * ci][None, :], out=plane)
+                    plane += dense[0, 2 * ci + 1][:, None]
+                    plane += bias
+                    for s, e in zip(*np.where(plane > 0)):
+                        if s <= e and s in start_mapping and e in end_mapping:
+                            cs, ce = start_mapping[int(s)], end_mapping[int(e)]
+                            spans.append(
+                                Span(ci, text[cs : ce + 1], cs, ce, float(plane[s, e]))
+                            )
+                out.append(spans)
         else:
             logits = self.head(hidden, attention_mask) + bias
             for i, text in enumerate(texts):

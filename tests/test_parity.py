@@ -107,6 +107,27 @@ def test_distributed_eval_matches_reference_validate(spark):
     assert macro == pytest.approx(ref["_macro"]["f1"], abs=1e-9)
 
 
+def test_fused_decode_equals_reference_spec_path():
+    """The model's fused per-class-plane score+decode must emit exactly the
+    spans of the unfused path (full raw_scores tensor → decode_gp), which in
+    turn matches the reference-masked spec (test_heads)."""
+    import numpy as np
+
+    from entity_extractor_by_pointer_spark.functions.decode import decode_gp
+
+    records = _records(DS2, 80)
+    texts = [r.get("text") or "" for r in records]
+    cfg = NerConfig(classes=CLASSES2, model_type="gp")
+    m = PointerNerModel(cfg)
+    fused = m.predict_batch(texts)
+    ids, mask, offs = m._encode_batch(texts)
+    hidden = m.encoder(ids, mask)
+    for i, text in enumerate(texts):
+        li = int(mask[i].sum())
+        logits = m.head.raw_scores(hidden[i : i + 1, :li])[0] + np.float32(cfg.logit_bias)
+        assert [tuple(s) for s in fused[i]] == [tuple(s) for s in decode_gp(text, logits, offs[i])]
+
+
 def test_truncation_hides_entities_past_200_tokens(spark):
     """Reference truncates at max_sequence_length=200 (data.py:24-29,
     config.py:57): entities beyond the window are undetectable AND their
