@@ -122,6 +122,18 @@ class PointerNerModel:
         return out
 
 
+    def predict_one(self, sentence: str) -> dict[str, list[str]]:
+        """Interactive single-sentence API (reference ``predict.py:31-48``,
+        ``main.py:57-63``): spans → per-class surface-form sets → class
+        names at the edge (``predict.py:45-48``). Debug/REPL helper; the
+        distributed path is ``operators.mentions.detect_mentions``."""
+        spans = self.predict_batch([sentence])[0]
+        sets: dict[int, set[str]] = {}
+        for sp in spans:
+            sets.setdefault(sp.class_id, set()).add(sp.entity)
+        return {self.config.classes[cid]: sorted(s) for cid, s in sets.items()}
+
+
 @dataclass
 class _ModelCache:
     """Per-executor-process model singleton (one init per Python worker)."""

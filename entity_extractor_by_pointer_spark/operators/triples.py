@@ -67,10 +67,17 @@ def build_triples(canon_mentions: DataFrame, id_col: str = "url") -> DataFrame:
 
 def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 16) -> DataFrame:
     """Two-phase aggregation for skewed keys: count per (keys, salt) first,
-    then sum the partials per keys. With AQE + map-side combine Spark often
-    handles this alone; the explicit salt guarantees no single reducer owns
-    a hot key's full row stream."""
-    salted = df.withColumn("_salt", F.pmod(F.crc32(F.concat_ws("", *keys)), F.lit(salt_buckets)))
+    then sum the partials per keys.
+
+    The salt MUST vary within a key (a hash of the key itself is constant
+    per key and spreads nothing - caught by ``tests/test_skew.py``), so it
+    is derived from the input partition id: phase 1 reduces each hot key to
+    at most #input-partitions rows before any shuffle, phase 2 sums the
+    partials. This is map-side combine made explicit, per the north rule's
+    "skew handled explicitly"; Spark's hash aggregate does the same
+    implicitly for counts, but the pattern generalizes to aggregates that
+    don't partially combine and documents the skew contract."""
+    salted = df.withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("n_docs"))
 

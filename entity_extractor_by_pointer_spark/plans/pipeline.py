@@ -43,10 +43,10 @@ class KgPipeline:
         self.config = config or PipelineConfig()
         self.writer = StageWriter(spark, workdir, run_id)
 
-    def _stage(self, name: str, resume: bool, compute) -> DataFrame:
+    def _stage(self, name: str, resume: bool, compute, partition_by=None) -> DataFrame:
         if resume and self.writer.is_done(name):
             return self.writer.read_stage(name)
-        return self.writer.write_stage(name, compute())
+        return self.writer.write_stage(name, compute(), partition_by=partition_by)
 
     def run(self, pages: DataFrame, resume: bool = False) -> DataFrame:
         cfg = self.config
@@ -82,8 +82,20 @@ class KgPipeline:
             "canonical", resume, lambda: canonicalize_entities(linked, canon_edges)
         )
 
-        triples = self._stage("triples", resume, lambda: build_triples(canonical))
-        counts = self._stage("triple_counts", resume, lambda: triple_counts(triples))
+        # graph table materialized bucketed by subject hash (north rule):
+        # parquet partition column standing in for Iceberg bucket(N, subj)
+        def triples_stage() -> DataFrame:
+            t = build_triples(canonical)
+            return (
+                t.withColumn("subj_bucket", F.pmod(F.hash("subj"), F.lit(16)))
+                .repartition("subj_bucket")
+                .sortWithinPartitions("subj", "pred", "obj")
+            )
+
+        triples = self._stage("triples", resume, triples_stage, partition_by=["subj_bucket"])
+        counts = self._stage(
+            "triple_counts", resume, lambda: triple_counts(triples.drop("subj_bucket"))
+        )
 
         n_pages = pages_t.count()
         n_triples = triples.count()

@@ -3,6 +3,7 @@ pages must agree between Structured Streaming (availableNow drain) and the
 batch plan."""
 
 from entity_extractor_by_pointer_spark.sources.pages import generate_pages
+from entity_extractor_by_pointer_spark.streaming.stateful import run_dedup_stream_once
 from entity_extractor_by_pointer_spark.streaming.stream import (
     run_stream_once,
     windowed_type_counts,
@@ -50,3 +51,37 @@ def test_stream_resume_from_checkpoint(spark, tmp_path):
         for r in windowed_type_counts(spark.read.parquet(pages_dir)).collect()
     }
     assert resumed == batch
+
+
+def test_stateful_stream_dedup_first_seen(spark, tmp_path):
+    """applyInPandasWithState dedup: one output row per distinct content
+    fingerprint across micro-batches AND across resumed drains."""
+    from entity_extractor_by_pointer_spark.operators.dedup import dedup_exact
+
+    pages_dir = str(tmp_path / "pages3")
+    # duplicate content: same idx range written twice under different urls is
+    # impossible via generate_pages, so append the SAME rows re-keyed
+    base = generate_pages(spark, 40, partitions=2)
+    base.write.parquet(pages_dir)
+    import pyspark.sql.functions as F
+
+    base.withColumn("url", F.concat(F.col("url"), F.lit("?dup"))).write.mode(
+        "append"
+    ).parquet(pages_dir)
+
+    ckpt = str(tmp_path / "ckpt3")
+    out_dir = str(tmp_path / "deduped")
+    run_dedup_stream_once(spark, pages_dir, ckpt, out_dir)
+    got = spark.read.parquet(out_dir).collect()
+    n_distinct = dedup_exact(
+        spark.read.parquet(pages_dir).withColumnRenamed("url", "doc_id")
+    ).count()
+    assert len(got) == n_distinct  # one winner per fingerprint
+    assert len({r["fingerprint"] for r in got}) == len(got)
+
+    # resume with new duplicate-only files → nothing new emitted
+    base.withColumn("url", F.concat(F.col("url"), F.lit("?dup2"))).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    run_dedup_stream_once(spark, pages_dir, ckpt, out_dir)
+    assert spark.read.parquet(out_dir).count() == len(got)
