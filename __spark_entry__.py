@@ -443,6 +443,21 @@ def q_events_sessions(spark, sf_dir):
     )
 
 
+def q_events_json_extract(spark, sf_dir):
+    """Semi-structured column handling: parse the props JSON payload."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -502,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_events": q_rollup_events,
         "events_sessions": q_events_sessions,
         "events_hourly": q_events_hourly,
+        "events_json_extract": q_events_json_extract,
     }
 
 
@@ -824,6 +840,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(json_extract(props, '$.k')::INT) AS sum_k,
+                   max(json_extract(props, '$.k')::INT) AS max_k
+            FROM events GROUP BY event_type
         """,
     } | _textstat_oracles()
 
