@@ -26,7 +26,13 @@ def test_no_collect_in_operator_hot_paths():
     """Driver-side collect loops mean an operator isn't distributed. The only
     sanctioned collects: canonicalize's convergence COUNT (an aggregate),
     lineage bookkeeping, and the pipeline's invariant check (an aggregate)."""
-    allowed = {"canonicalize.py", "lineage.py", "pipeline.py", "evaluate.py"}
+    allowed = {
+        "canonicalize.py",  # convergence count + small-graph union-find collect
+        "lineage.py",  # per-partition bookkeeping rows
+        "pipeline.py",  # invariant-check aggregate
+        "evaluate.py",  # final metrics rows
+        "__main__.py",  # CLI result display (top-10 limit)
+    }
     bad = []
     for path in PKG.rglob("*.py"):
         if path.name in allowed:
