@@ -16,8 +16,10 @@ from .reference_oracle import gold_sets_reference, validate_counts
 
 DS2 = "/root/reference/data/example_datasets2/dev_data.json"
 DS1 = "/root/reference/data/example_datasets1/dev_data.json"
+DS3 = "/root/reference/data/example_datasets3/dev_data.json"
 CLASSES2 = ["person", "location", "organization"]
 CLASSES1 = ["company", "position", "detail"]
+CLASSES3 = ["pro", "dis", "sym", "ite", "bod", "dru", "mic", "equ", "dep"]
 N_DOCS = 400  # subset for test runtime; full-set parity holds by construction
 
 
@@ -32,6 +34,8 @@ def _records(path, n):
         (DS2, CLASSES2, "gp", -4.0),
         (DS2, CLASSES2, "bp", -2.0),
         (DS1, CLASSES1, "gp", -4.0),
+        (DS3, CLASSES3, "gp", -4.0),
+        (DS3, CLASSES3, "bp", -2.0),
     ],
 )
 def test_spark_pipeline_matches_single_process_oracle(spark, path, classes, model_type, bias):

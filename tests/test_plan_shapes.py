@@ -1,0 +1,57 @@
+"""Physical-plan regression tests: the performance-critical plan shapes
+(predicate pushdown, column pruning, broadcast dims, no shuffle in the
+mention stage) must not silently regress."""
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(E.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read unused lineitem columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1]
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(E.q_join_broadcast(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_mention_stage_has_no_shuffle(spark):
+    # scan → project → mapInPandas: embarrassingly parallel, zero Exchange
+    from entity_extractor_by_pointer_spark.functions.model import NerConfig
+    from entity_extractor_by_pointer_spark.operators.mentions import detect_mentions
+    from entity_extractor_by_pointer_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 10)
+    cfg = NerConfig(classes=["person", "location", "organization"])
+    plan = _plan(detect_mentions(pages, cfg))
+    assert "Exchange" not in plan, plan
+
+
+def test_mention_stage_prunes_html_binary(spark, tmp_path):
+    """Reading pages from storage, the mention stage's scan must prune the
+    binary html column (column pruning through mapInPandas)."""
+    from entity_extractor_by_pointer_spark.functions.model import NerConfig
+    from entity_extractor_by_pointer_spark.operators.mentions import detect_mentions
+    from entity_extractor_by_pointer_spark.sources.pages import generate_pages
+
+    path = str(tmp_path / "pages")
+    generate_pages(spark, 10).write.parquet(path)
+    cfg = NerConfig(classes=["person", "location", "organization"])
+    plan = _plan(detect_mentions(spark.read.parquet(path), cfg))
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, read_schema
+    assert "text" in read_schema and "url" in read_schema
+
+
+def test_linking_broadcasts_alias_dim(spark):
+    plan = _plan(E.q_entity_linking(spark, SF))
+    assert "BroadcastHashJoin" in plan
