@@ -554,10 +554,12 @@ def oracle_sql() -> dict[str, str]:
 
     k, bands = dd.MINHASH_K, dd.MINHASH_BANDS
     rpb = k // bands
+    # two 60-bit hashes per md5 digest (hex 1-15 and 17-31), like the Spark op
     mh_terms = []
-    for i in range(k):
-        seeded = "shingle || '#%d'" % i
-        mh_terms.append(f"min({_H64.format(x=seeded)}) AS mh_{i}")
+    for s in range(k // 2):
+        digest = f"md5(shingle || '#{s}')"
+        mh_terms.append(f"min(('0x' || substr({digest}, 1, 15))::BIGINT) AS mh_{2 * s}")
+        mh_terms.append(f"min(('0x' || substr({digest}, 17, 15))::BIGINT) AS mh_{2 * s + 1}")
     mh_mins = ", ".join(mh_terms)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, md5("

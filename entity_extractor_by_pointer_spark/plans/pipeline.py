@@ -24,7 +24,8 @@ from ..operators.mentions import detect_mentions, detect_mentions_gazetteer
 from ..operators.triples import build_triples, triple_counts
 from .lineage import StageWriter
 
-STAGES = ["pages", "mentions", "linked", "canonical", "triples", "triple_counts"]
+STAGES = ["pages", "mentions", "triples", "triple_counts"]  # default materialization
+OPTIONAL_STAGES = ["linked", "canonical"]  # materialize_all=True
 
 
 @dataclass
@@ -35,6 +36,9 @@ class PipelineConfig:
     gazetteer: list = field(default_factory=lambda: list(PAGES_GAZETTEER))
     aliases: list = field(default_factory=lambda: list(PAGES_GAZETTEER))
     canon_edges: list = field(default_factory=lambda: list(CANON_EDGES))
+    # materialize the narrow linked/canonical stages as their own tables
+    # (finer resume granularity; default keeps them fused into triples)
+    materialize_all: bool = False
 
 
 class KgPipeline:
@@ -71,16 +75,24 @@ class KgPipeline:
         aliases = alias_df(
             self.spark, [(name, eid) for name, _t, eid in cfg.aliases]
         )
-        linked = self._stage(
-            "linked",
-            resume,
-            lambda: link_mentions(mentions, aliases).where(F.col("entity_id").isNotNull()),
-        )
-
         canon_edges = self.spark.createDataFrame(cfg.canon_edges, "src string, dst string")
-        canonical = self._stage(
-            "canonical", resume, lambda: canonicalize_entities(linked, canon_edges)
-        )
+
+        # linking + canonicalization are NARROW against the mention table
+        # (broadcast hash joins, no shuffle): at crawl scale re-materializing
+        # two extra copies of the mention table would dominate I/O, so by
+        # default they stay lazy and fuse into the triples stage. Set
+        # ``materialize_all=True`` to checkpoint them individually (finer
+        # resume granularity at the cost of 2 extra table writes).
+        def linked_fn() -> DataFrame:
+            return link_mentions(mentions, aliases).where(F.col("entity_id").isNotNull())
+
+        if cfg.materialize_all:
+            linked = self._stage("linked", resume, linked_fn)
+            canonical = self._stage(
+                "canonical", resume, lambda: canonicalize_entities(linked, canon_edges)
+            )
+        else:
+            canonical = canonicalize_entities(linked_fn(), canon_edges)
 
         # graph table materialized bucketed by subject hash (north rule):
         # parquet partition column standing in for Iceberg bucket(N, subj)

@@ -31,10 +31,25 @@ def test_pipeline_deterministic_and_resumable(spark, tmp_path):
     assert out3 == out1
 
 
+def test_fused_and_materialized_pipelines_agree(spark, tmp_path):
+    from entity_extractor_by_pointer_spark.plans.pipeline import PipelineConfig
+
+    pages = generate_pages(spark, 80, partitions=4)
+    fused = _triples(KgPipeline(spark, str(tmp_path / "f"), "f").run(pages))
+    mat = _triples(
+        KgPipeline(
+            spark, str(tmp_path / "m"), "m", PipelineConfig(materialize_all=True)
+        ).run(pages)
+    )
+    assert fused == mat
+
+
 def test_lineage_and_metrics_written(spark, tmp_path):
+    from entity_extractor_by_pointer_spark.plans.pipeline import PipelineConfig
+
     pages = generate_pages(spark, 60, partitions=4)
     wd = str(tmp_path / "runL")
-    pipe = KgPipeline(spark, wd, "rL")
+    pipe = KgPipeline(spark, wd, "rL", PipelineConfig(materialize_all=True))
     pipe.run(pages)
     lineage = pipe.writer.read_lineage()
     stages = {r["stage"] for r in lineage.select("stage").distinct().collect()}
