@@ -458,6 +458,48 @@ def q_events_json_extract(spark, sf_dir):
     )
 
 
+def q_events_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent
+    prior-or-same-time signup. Expressed as a running last-non-null window —
+    one shuffle on user_id, no range-join explosion (the scale-correct plan
+    for as-of semantics on a sorted-within-user stream)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    signup_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("asof_signup", signup_ts)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("asof_signup", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        )
+    )
+
+
+def q_price_band_join(spark, sf_dir):
+    """Non-equi (range) join: lineitems bucketed into inline price bands."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("b0", 0.0, 20000.0), ("b1", 20000.0, 45000.0), ("b2", 45000.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -518,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
+        "events_asof_join": q_events_asof_join,
+        "price_band_join": q_price_band_join,
     }
 
 
@@ -848,6 +892,26 @@ def oracle_sql() -> dict[str, str]:
                    sum(json_extract(props, '$.k')::INT) AS sum_k,
                    max(json_extract(props, '$.k')::INT) AS max_k
             FROM events GROUP BY event_type
+        """,
+        "events_asof_join": """
+            WITH w AS (
+                SELECT event_id, user_id, event_type,
+                       last_value(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup
+                FROM events
+            )
+            SELECT event_id, user_id,
+                   strftime(asof_signup, '%Y-%m-%d %H:%M:%S') AS signup_ts
+            FROM w WHERE event_type = 'purchase'
+        """,
+        "price_band_join": """
+            SELECT band, count(*) AS n_items, round(sum(l_extendedprice), 2) AS total_price
+            FROM lineitem
+            JOIN (VALUES ('b0', 0.0, 20000.0), ('b1', 20000.0, 45000.0), ('b2', 45000.0, 1e9))
+                 AS bands(band, lo, hi)
+              ON l_extendedprice >= lo AND l_extendedprice < hi
+            GROUP BY band
         """,
     } | _textstat_oracles()
 

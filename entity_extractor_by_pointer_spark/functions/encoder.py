@@ -36,13 +36,13 @@ class SeededTinyEncoder:
     def __call__(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
         ids = np.asarray(input_ids) % EMB_BUCKETS
         h = self.emb[ids]  # (B, L, H) float32
-        # fixed causal/anticausal mixing so states are context-dependent
-        left = np.roll(h, 1, axis=1)
-        left[:, 0, :] = 0.0
-        right = np.roll(h, -1, axis=1)
-        right[:, -1, :] = 0.0
-        h = h + np.float32(0.5) * left + np.float32(0.25) * right
-        return h * np.asarray(attention_mask, dtype=np.float32)[..., None]
+        # fixed causal/anticausal mixing so states are context-dependent:
+        # out[k] = h[k] + 0.5·h[k−1] + 0.25·h[k+1] (slice form — same float
+        # op order as the roll-based definition, no roll temporaries)
+        out = h.copy()
+        out[:, 1:] += np.float32(0.5) * h[:, :-1]
+        out[:, :-1] += np.float32(0.25) * h[:, 1:]
+        return out * np.asarray(attention_mask, dtype=np.float32)[..., None]
 
 
 def load_torch_bert_encoder(model_name: str = "bert-base-chinese"):

@@ -43,6 +43,27 @@ def sinusoidal_position_embedding(seq_len: int, output_dim: int) -> np.ndarray:
     return emb.reshape(1, seq_len, output_dim)
 
 
+_ROPE_CACHE: dict[int, tuple[int, np.ndarray, np.ndarray]] = {}
+
+
+def rope_tables(seq_len: int, output_dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(cos_pos, sin_pos) float32 tables of shape (1, seq_len, output_dim).
+
+    Row p of the sinusoidal table depends only on p, so tables for any
+    length are prefixes of one cached max-length table — computed once per
+    worker and sliced per doc."""
+    cached = _ROPE_CACHE.get(output_dim)
+    if cached is None or cached[0] < seq_len:
+        cap = max(seq_len, 256)
+        pos = sinusoidal_position_embedding(cap, output_dim).astype(np.float32)
+        cos = np.repeat(pos[..., 1::2], 2, axis=-1)
+        sin = np.repeat(pos[..., ::2], 2, axis=-1)
+        cached = (cap, cos, sin)
+        _ROPE_CACHE[output_dim] = cached
+    _cap, cos, sin = cached
+    return cos[:, :seq_len], sin[:, :seq_len]
+
+
 def apply_rope(x: np.ndarray, pos: np.ndarray) -> np.ndarray:
     """Rotate (B, L, d) vectors by the rotary table (1, L, d).
 
@@ -133,9 +154,13 @@ class GlobalPointerHead:
         out = hidden @ self.w1 + self.b1  # (B, L, 2*inner)
         qw, kw = out[..., ::2], out[..., 1::2]  # interleaved split (ref :69)
         if self.rope:
-            pos = sinusoidal_position_embedding(seq_len, INNER_DIM).astype(np.float32)
-            qw = apply_rope(qw, pos)
-            kw = apply_rope(kw, pos)
+            cos_pos, sin_pos = rope_tables(seq_len, INNER_DIM)
+            # identical arithmetic to apply_rope, with the cos/sin repeats
+            # precomputed once per worker instead of per doc
+            qw2 = np.stack([-qw[..., 1::2], qw[..., ::2]], axis=-1).reshape(qw.shape)
+            qw = qw * cos_pos + qw2 * sin_pos
+            kw2 = np.stack([-kw[..., 1::2], kw[..., ::2]], axis=-1).reshape(kw.shape)
+            kw = kw * cos_pos + kw2 * sin_pos
         qw = np.ascontiguousarray(qw)
         kw = np.ascontiguousarray(kw)
         qk = (qw @ kw.transpose(0, 2, 1)) * np.float32(1.0 / INNER_DIM**0.5)

@@ -21,7 +21,7 @@ import numpy as np
 from .decode import Span, build_offset_maps, decode_bp
 from .encoder import SeededTinyEncoder
 from .heads import BinaryPointerHead, GlobalPointerHead
-from .tokenizer import CjkCharTokenizer, pad_or_truncate
+from .tokenizer import CjkCharTokenizer, encode_for_inference
 
 
 @dataclass
@@ -58,10 +58,9 @@ class PointerNerModel:
         L = self.config.max_sequence_length
         ids, masks, offsets = [], [], []
         for text in texts:
-            enc = self.tokenizer(text)  # untruncated, like data.py:41
-            ids.append(pad_or_truncate(list(enc.input_ids), L))
-            masks.append(pad_or_truncate(list(enc.attention_mask), L))
-            off = self.tokenizer(text, max_length=L, truncation=True).offset_mapping
+            i, m, off = encode_for_inference(text, L)  # single tokenize pass
+            ids.append(i)
+            masks.append(m)
             offsets.append(off)
         return np.asarray(ids, dtype=np.int32), np.asarray(masks, dtype=np.int32), offsets
 

@@ -52,11 +52,20 @@ def _is_cjk(cp: int) -> bool:
     )
 
 
+_TOKEN_ID_CACHE: dict[str, int] = {}
+
+
 def token_id(token: str) -> int:
-    """Stable vocab id for a token string (crc32-hashed into the id space)."""
-    return _FIRST_REGULAR_ID + zlib.crc32(token.encode("utf-8")) % (
-        VOCAB_SIZE - _FIRST_REGULAR_ID
-    )
+    """Stable vocab id for a token string (crc32-hashed into the id space).
+    Memoized — real corpora have a small distinct-token set per worker."""
+    tid = _TOKEN_ID_CACHE.get(token)
+    if tid is None:
+        tid = _FIRST_REGULAR_ID + zlib.crc32(token.encode("utf-8")) % (
+            VOCAB_SIZE - _FIRST_REGULAR_ID
+        )
+        if len(_TOKEN_ID_CACHE) < 1_000_000:  # bound worker memory
+            _TOKEN_ID_CACHE[token] = tid
+    return tid
 
 
 def basic_tokenize(text: str) -> list[tuple[str, int, int]]:
@@ -126,6 +135,26 @@ class CjkCharTokenizer:
             else:
                 ids, mask, types, offsets = ids[:L], mask[:L], types[:L], offsets[:L]
         return Encoding(ids, types, mask, offsets)
+
+
+def encode_for_inference(
+    text: str, max_sequence_length: int
+) -> tuple[list[int], list[int], list[tuple[int, int]]]:
+    """One-pass equivalent of the reference's two tokenizer calls on the
+    inference path: padded/hard-truncated ids + attention mask
+    (``data.py:41-44,24-29``) AND the truncation=True offset mapping used by
+    decode (``data.py:88-90``) from a single ``basic_tokenize`` — the
+    outputs are exactly what calling the tokenizer twice would produce."""
+    toks = basic_tokenize(text)
+    L = max_sequence_length
+    n = len(toks)
+    ids = [CLS_ID] + [token_id(t) for t, _, _ in toks] + [SEP_ID]
+    mask = [1] * len(ids)
+    ids = pad_or_truncate(ids, L)
+    mask = pad_or_truncate(mask, L)
+    body = toks[: L - 2] if n > L - 2 else toks
+    offsets = [(0, 0)] + [(s, e) for _, s, e in body] + [(0, 0)]
+    return ids, mask, offsets
 
 
 def pad_or_truncate(token: list[int], max_sequence_length: int) -> list[int]:
