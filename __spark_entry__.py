@@ -420,6 +420,37 @@ def q_union_distinct(spark, sf_dir):
     return rich.union(big).distinct()
 
 
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5-style multi-join: revenue by nation where customer and
+    supplier share the nation — exercises Catalyst join reordering across
+    5 tables with two broadcast dims."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .where(c.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    return j.groupBy(F.col("n_name").alias("nation_name")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def q_cube_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 def q_rollup_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -556,6 +587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "sort_topk": q_sort_topk,
         "union_distinct": q_union_distinct,
+        "q5_local_supplier": q5_local_supplier,
+        "cube_events": q_cube_events,
         "rollup_events": q_rollup_events,
         "events_sessions": q_events_sessions,
         "events_hourly": q_events_hourly,
@@ -864,6 +897,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
             UNION
             SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        """,
+        "q5_local_supplier": """
+            SELECT n_name AS nation_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+        """,
+        "cube_events": """
+            SELECT event_type, day, count(*) AS n_events
+            FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day FROM events)
+            GROUP BY CUBE (event_type, day)
         """,
         "rollup_events": """
             SELECT event_type, day, count(*) AS n_events, round(sum(value), 2) AS total_value
