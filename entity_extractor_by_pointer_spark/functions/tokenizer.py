@@ -68,8 +68,36 @@ def token_id(token: str) -> int:
     return tid
 
 
+import re
+
+# ascii-alnum runs | whitespace runs (skipped) | any other single codepoint.
+# CJK codepoints fall into the single-codepoint branch, giving one token per
+# CJK char exactly like BERT's basic tokenizer; _is_cjk is kept for callers
+# and for the reference (loop) implementation the equivalence test pins.
+_TOKEN_RE = re.compile(r"([A-Za-z0-9]+)|(\s+)|(.)", re.DOTALL)
+
+
 def basic_tokenize(text: str) -> list[tuple[str, int, int]]:
-    """Split text into (token, char_start, char_end_exclusive) triples."""
+    """Split text into (token, char_start, char_end_exclusive) triples.
+
+    Compiled-regex scanner (C speed); semantics identical to the reference
+    per-char loop (``basic_tokenize_slow``), pinned by
+    ``tests/test_tokenizer.py::test_fast_tokenizer_equals_reference_loop``.
+    """
+    out: list[tuple[str, int, int]] = []
+    append = out.append
+    for m in _TOKEN_RE.finditer(text):
+        run = m.group(1)
+        if run is not None:
+            append((run.lower(), m.start(), m.end()))
+        elif m.group(2) is None:  # single non-space, non-ascii-alnum char
+            append((m.group(3), m.start(), m.start() + 1))
+    return out
+
+
+def basic_tokenize_slow(text: str) -> list[tuple[str, int, int]]:
+    """Reference implementation (per-char loop) — kept as the spec for the
+    equivalence test; do not use in hot paths."""
     out: list[tuple[str, int, int]] = []
     i, n = 0, len(text)
     while i < n:

@@ -49,6 +49,24 @@ def test_pad_or_truncate_reference_semantics():
     assert pad_or_truncate(long, 200) == long[:200]  # no SEP at 199
 
 
+def test_fast_tokenizer_equals_reference_loop():
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    from entity_extractor_by_pointer_spark.functions.tokenizer import basic_tokenize_slow
+
+    alphabet = st.sampled_from(
+        list("中国广州 abzAZ019,.!?、。\t\n\r\xa0　\x1c​é½１﹏")
+    )
+
+    @given(st.text(alphabet=alphabet, max_size=200))
+    @settings(max_examples=500, deadline=None)
+    def check(text):
+        assert basic_tokenize(text) == basic_tokenize_slow(text)
+
+    check()
+
+
 def test_token_ids_deterministic_and_in_vocab_range():
     a, b = token_id("广"), token_id("广")
     assert a == b and 104 <= a < 21128
