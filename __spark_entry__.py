@@ -200,6 +200,37 @@ def q_top_entities_per_type(spark, sf_dir):
     return freq.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 2)
 
 
+def q_span_eval_f1(spark, sf_dir):
+    """E1 evaluation operator as a query: score the alias-subset gazetteer's
+    mentions (pred) against the full gazetteer's (gold) — per-class
+    precision/recall/F1 with the reference's exact accumulation semantics
+    (gold-classes-only B, 1e-10 smoothing; ``engines/train.py:237-284``)."""
+    from entity_extractor_by_pointer_spark.functions.gazetteer import DOCS_GAZETTEER as GAZ
+    from entity_extractor_by_pointer_spark.operators.evaluate import span_f1
+
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import types as T
+
+    pred_gaz = [(n, t, e) for n, t, e in GAZ if n in {s for s, _e in LINK_ALIASES}]
+    pred = (
+        detect_mentions_gazetteer(docs, pred_gaz, id_col="doc_id", text_col="text", id_type=T.LongType())
+        .select(F.col("doc_id").cast("string").alias("url"), "type", "entity")
+        .dropDuplicates()
+    )
+    gold = (
+        detect_mentions_gazetteer(docs, GAZ, id_col="doc_id", text_col="text", id_type=T.LongType())
+        .select(F.col("doc_id").cast("string").alias("url"), "type", "entity")
+        .dropDuplicates()
+    )
+    metrics, _macro = span_f1(spark, pred, gold, ["location", "organization", "person"])
+    return metrics.select(
+        "type",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 def q_ner_model_gp(spark, sf_dir):
     """Model-path mentions (SeededTinyEncoder + GlobalPointer head) —
     deterministic but not SQL-expressible (rows-only driver check; exact
@@ -561,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_mentions": q_canonical_mentions,
         "triples_flagship": q_triples_flagship,
         "top_entities_per_type": q_top_entities_per_type,
+        "span_eval_f1": q_span_eval_f1,
         # training-data pipeline
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -709,6 +741,33 @@ def oracle_sql() -> dict[str, str]:
              AND (a.first_pos < b.first_pos
                   OR (a.first_pos = b.first_pos AND a.canon_id < b.canon_id))
             GROUP BY 1, 2, 3
+        """,
+        "span_eval_f1": f"""
+            WITH {mentions_cte.strip()},
+            pred AS (
+                SELECT DISTINCT doc_id::VARCHAR AS url, type, entity FROM mentions
+                WHERE entity IN ('spark', 'vector', 'customer', 'window')
+            ),
+            gold AS (SELECT DISTINCT doc_id::VARCHAR AS url, type, entity FROM mentions),
+            gcd AS (SELECT DISTINCT url, type FROM gold),
+            pred_r AS (
+                SELECT p.url, p.type, p.entity FROM pred p
+                SEMI JOIN gcd ON gcd.url = p.url AND gcd.type = p.type
+            ),
+            a AS (SELECT p.type, count(*) AS A FROM pred_r p
+                  JOIN gold g ON g.url = p.url AND g.type = p.type AND g.entity = p.entity
+                  GROUP BY p.type),
+            b AS (SELECT type, count(*) AS B FROM pred_r GROUP BY type),
+            c AS (SELECT type, count(*) AS C FROM gold GROUP BY type),
+            dim(type) AS (VALUES ('location'), ('organization'), ('person'))
+            SELECT dim.type,
+                   round(coalesce(A, 0) / (coalesce(B, 0) + 1e-10), 6) AS "precision",
+                   round(coalesce(A, 0) / (coalesce(C, 0) + 1e-10), 6) AS recall,
+                   round(2 * coalesce(A, 0) / (coalesce(B, 0) + coalesce(C, 0) + 2 * 1e-10), 6) AS f1
+            FROM dim
+            LEFT JOIN a ON a.type = dim.type
+            LEFT JOIN b ON b.type = dim.type
+            LEFT JOIN c ON c.type = dim.type
         """,
         "top_entities_per_type": f"""
             WITH {mentions_cte.strip()},
