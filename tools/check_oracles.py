@@ -6,6 +6,7 @@ repr, floats via repr of the double)."""
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 import time
 
@@ -17,7 +18,7 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from entity_extractor_by_pointer_spark.session import get_spark  # noqa: E402
 from entity_extractor_by_pointer_spark.sources.tables import TABLES  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
