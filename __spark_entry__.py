@@ -562,6 +562,25 @@ def q_price_band_join(spark, sf_dir):
     )
 
 
+def q_sketch_distinct_users(spark, sf_dir):
+    """HLL++ sketch: approximate distinct users per event type. Inherently
+    approximate → no SQL oracle (rows-only driver check); accuracy vs exact
+    is asserted within 5% in tests/test_sketches.py."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_sketch_value_quantiles(spark, sf_dir):
+    """Approximate quantiles per event type (GK sketch via
+    percentile_approx). Rows-only driver check; accuracy tested in pytest."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("quantiles")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -627,6 +646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "events_asof_join": q_events_asof_join,
         "price_band_join": q_price_band_join,
+        "sketch_distinct_users": q_sketch_distinct_users,
+        "sketch_value_quantiles": q_sketch_value_quantiles,
     }
 
 
