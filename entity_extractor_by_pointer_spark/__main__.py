@@ -21,20 +21,50 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="entity_extractor_by_pointer_spark")
     parser.add_argument("--pages-parquet", help="input pages table (url, warc_ts, html, text, lang)")
     parser.add_argument("--synth-pages", type=int, help="generate N synthetic pages instead")
-    parser.add_argument("--workdir", required=True, help="output root (stage tables + _lineage/_metrics)")
+    parser.add_argument(
+        "--eval-json",
+        help="reference-format NER dataset (list of {text, entities}): run the "
+        "model over it and print per-class P/R/F1 — the distributed analog of "
+        "the reference's mode='test'",
+    )
+    parser.add_argument("--classes", default="person,location,organization")
+    parser.add_argument("--workdir", required=False, help="output root (stage tables + _lineage/_metrics)")
     parser.add_argument("--run-id", default=None)
     parser.add_argument("--resume", action="store_true", help="skip stages whose output+lineage exist")
     parser.add_argument("--scorer", default="gazetteer", choices=["gazetteer", "gp", "bp"])
     parser.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
     args = parser.parse_args(argv)
-    if not args.pages_parquet and not args.synth_pages:
-        parser.error("one of --pages-parquet / --synth-pages is required")
+    if not args.pages_parquet and not args.synth_pages and not args.eval_json:
+        parser.error("one of --pages-parquet / --synth-pages / --eval-json is required")
 
     from .plans.pipeline import KgPipeline, PipelineConfig
     from .session import get_spark
     from .sources.pages import generate_pages
 
     spark = get_spark(app_name="kg-pipeline", master=args.master)
+
+    if args.eval_json:
+        from .functions.model import NerConfig
+        from .operators.evaluate import gold_mention_sets, span_f1
+        from .operators.mentions import detect_mentions, mention_sets
+        from .sources.pages import reference_dataset_as_pages
+
+        classes = args.classes.split(",")
+        cfg = NerConfig(classes=classes, model_type=args.scorer if args.scorer in ("gp", "bp") else "gp")
+        pages = reference_dataset_as_pages(spark, args.eval_json)
+        pred = mention_sets(detect_mentions(pages, cfg))
+        gold = gold_mention_sets(pages, cfg.max_sequence_length)
+        metrics, macro = span_f1(spark, pred, gold, classes)
+        for r in metrics.orderBy("type").collect():
+            print(
+                f"class_name: {r['type']}, precision: {r['precision']:.4f}, "
+                f"recall: {r['recall']:.4f}, f1: {r['f1']:.4f}"
+            )
+        print(f"macro f1: {macro:.4f}")
+        return 0
+
+    if not args.workdir:
+        parser.error("--workdir is required for pipeline runs")
     run_id = args.run_id or f"run-{int(time.time())}"
     pages = (
         spark.read.parquet(args.pages_parquet)

@@ -45,8 +45,39 @@ class SeededTinyEncoder:
         return out * np.asarray(attention_mask, dtype=np.float32)[..., None]
 
 
-def load_torch_bert_encoder(model_name: str = "bert-base-chinese"):
-    """Production encoder factory (GPU path). Not available in this sandbox."""
+class TorchBertEncoder:  # pragma: no cover - torch absent in this sandbox
+    """Production encoder: batched BERT forward on GPU inside the same
+    mapInPandas shell (reference ``BinaryPointer.py:17`` /
+    ``GlobalPointer.py:12`` load 'bert-base-chinese'; the north rule runs
+    this as batched GPU kernels with no per-row Python). One instance per
+    executor python worker via MODEL_CACHE; micro-batch size bounds GPU
+    memory alongside the Arrow batch size."""
+
+    def __init__(self, model_name: str = "bert-base-chinese", device: str | None = None, micro_batch: int = 64):
+        import torch
+        from transformers import BertModel
+
+        self._torch = torch
+        self.device = device or ("cuda" if torch.cuda.is_available() else "cpu")
+        self.model = BertModel.from_pretrained(model_name).to(self.device).eval()
+        self.hidden_size = self.model.config.hidden_size
+        self.micro_batch = micro_batch
+
+    def __call__(self, input_ids: np.ndarray, attention_mask: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(input_ids), self.micro_batch):
+                ids = torch.as_tensor(input_ids[i : i + self.micro_batch], dtype=torch.long, device=self.device)
+                mask = torch.as_tensor(attention_mask[i : i + self.micro_batch], dtype=torch.long, device=self.device)
+                hidden = self.model(ids, attention_mask=mask).last_hidden_state
+                outs.append(hidden.float().cpu().numpy())
+        return np.concatenate(outs, axis=0)
+
+
+def load_torch_bert_encoder(model_name: str = "bert-base-chinese") -> "TorchBertEncoder":
+    """Production encoder factory (GPU path); raises a clear error where
+    torch/transformers are not installed (this sandbox)."""
     try:
         import torch  # noqa: F401
         from transformers import BertModel  # noqa: F401
@@ -55,4 +86,4 @@ def load_torch_bert_encoder(model_name: str = "bert-base-chinese"):
             "torch/transformers not installed in this environment; "
             "use SeededTinyEncoder for deterministic tests"
         ) from exc
-    raise NotImplementedError("wire BertModel forward here on a GPU cluster")
+    return TorchBertEncoder(model_name)
