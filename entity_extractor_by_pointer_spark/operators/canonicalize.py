@@ -95,6 +95,78 @@ def connected_components(
     return labels.select("id", F.col("label").alias("canon_id"))
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    in O(log n) rounds even on adversarial long-chain graphs, where plain
+    min-label propagation needs O(diameter) rounds. Each round is two
+    groupBy-min joins — pure DataFrame ops, checkpointed to truncate lineage.
+
+    Returns (id, canon_id) for every node that appears in a (non-self) edge,
+    canon_id = min member id — identical output to ``connected_components``
+    (equivalence is a test).
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; for each center a: m = min(N(a) ∪ {a});
+        # re-link strictly-larger neighbors to m
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = sym.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            sym.join(mins, "a")
+            .where(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient high→low; for each center a: m = min(N(a) ∪ {a});
+        # link every lower neighbor AND the center itself to m
+        oriented = e.select(
+            F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+        ).where(F.col("a") != F.col("b"))
+        mins = oriented.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        relinked = oriented.join(mins, "a").select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        centers = mins.select(F.col("a"), F.col("m").alias("b"))
+        return (
+            relinked.union(centers)
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for i in range(max_iter):
+        new_e = small_star(large_star(e))
+        new_e = new_e.localCheckpoint()  # truncate lineage every round
+        # converged when the star edge set is stable: equal cardinality and
+        # no edge in new∖old (two cheap distributed checks, no data collect)
+        changed = (
+            new_e.count() != e.count() or new_e.exceptAll(e).limit(1).count() > 0
+        )
+        e = new_e
+        if not changed:
+            break
+    # final star: every node points at its component min; the roots
+    # themselves map to their own id
+    members = e.select(F.col("a").alias("id"), F.col("b").alias("canon_id"))
+    roots = e.select(F.col("b").alias("id")).distinct().withColumn("canon_id", F.col("id"))
+    return members.union(roots).distinct()
+
+
 def _union_find_min_label(pairs: list[tuple]) -> dict:
     """Union-find with min-label roots; same result as converged min-label
     propagation. Nodes appearing only in self-loops are excluded upstream."""

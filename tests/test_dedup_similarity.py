@@ -79,12 +79,33 @@ def test_connected_components_long_chain(spark, thr):
 def test_connected_components_paths_agree(spark):
     import random
 
+    from entity_extractor_by_pointer_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
     rnd = random.Random(9)
     edges_py = [(f"v{rnd.randrange(60)}", f"v{rnd.randrange(60)}") for _ in range(80)]
     edges = spark.createDataFrame(edges_py, "src string, dst string")
     fast = {(r["id"], r["canon_id"]) for r in connected_components(edges).collect()}
     dist = {(r["id"], r["canon_id"]) for r in connected_components(edges, driver_threshold=0).collect()}
-    assert fast == dist
+    star = {(r["id"], r["canon_id"]) for r in connected_components_star(edges).collect()}
+    assert fast == dist == star
+
+
+def test_star_cc_handles_long_chain(spark):
+    """large/small-star must collapse a 24-node chain (where min-label
+    propagation needs O(n) rounds) within its O(log n) budget."""
+    from entity_extractor_by_pointer_spark.operators.canonicalize import (
+        connected_components_star,
+    )
+
+    n = 24
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(n)], "src string, dst string"
+    )
+    cc = {r["id"]: r["canon_id"] for r in connected_components_star(edges, max_iter=10).collect()}
+    assert set(cc.values()) == {"n00"}
+    assert len(cc) == n + 1
 
 
 def test_ann_bruteforce_matches_numpy(spark):
