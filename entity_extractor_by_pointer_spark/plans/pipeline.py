@@ -124,6 +124,61 @@ class KgPipeline:
         )
         return counts
 
+    def run_incremental(self, new_pages: DataFrame) -> DataFrame:
+        """Process only pages not yet in the materialized ``pages`` stage and
+        APPEND their mentions/triples — exact, because every stage up to
+        triples is per-document independent (mentions, linking, canon are
+        per-row; triples pair entities within one document), so
+        incremental-append ≡ full recompute over the union (tested).
+        ``triple_counts`` is re-aggregated from the full triples table (a
+        cheap salted count). This is the batch-side analog of the streaming
+        ingest path for periodic crawl drops.
+        """
+        import os
+
+        cfg = self.config
+        if not self.writer.is_done("pages"):
+            return self.run(new_pages)
+
+        existing_urls = self.writer.read_stage("pages").select("url")
+        fresh = new_pages.join(existing_urls, "url", "left_anti")
+        fresh_t = self._extract_checked(fresh)
+        fresh_t.write.mode("append").parquet(os.path.join(self.writer.workdir, "pages"))
+
+        if cfg.scorer == "gazetteer":
+            mentions_new = detect_mentions_gazetteer(
+                fresh_t, cfg.gazetteer, max_tokens=cfg.max_sequence_length
+            )
+        else:
+            mentions_new = detect_mentions(
+                fresh_t,
+                NerConfig(
+                    classes=list(cfg.classes),
+                    model_type=cfg.scorer,
+                    max_sequence_length=cfg.max_sequence_length,
+                ),
+            )
+        mentions_new.write.mode("append").parquet(os.path.join(self.writer.workdir, "mentions"))
+
+        aliases = alias_df(self.spark, [(name, eid) for name, _t2, eid in cfg.aliases])
+        canon_edges = self.spark.createDataFrame(cfg.canon_edges, "src string, dst string")
+        linked_new = link_mentions(mentions_new, aliases).where(F.col("entity_id").isNotNull())
+        canonical_new = canonicalize_entities(linked_new, canon_edges)
+        triples_new = (
+            build_triples(canonical_new)
+            .withColumn("subj_bucket", F.pmod(F.hash("subj"), F.lit(16)))
+        )
+        triples_new.write.mode("append").partitionBy("subj_bucket").parquet(
+            os.path.join(self.writer.workdir, "triples")
+        )
+
+        all_triples = self.writer.read_stage("triples").drop("subj_bucket")
+        counts = self.writer.write_stage("triple_counts", triple_counts(all_triples))
+        self.writer.log_metrics(
+            "incremental", {"new_pages": float(fresh_t.count())}
+        )
+        return counts
+
     def _extract_checked(self, pages: DataFrame) -> DataFrame:
         """Run HTML extraction and enforce the byte-identity invariant."""
         extracted = with_extracted_text(pages)

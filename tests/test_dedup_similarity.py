@@ -30,6 +30,23 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_df_pruned_blocking_matches_exact(spark):
+    """Stop-shingle pruning (blocking only) must find the same ≥τ pairs on
+    testdata, with identical jaccard values (verification uses full sets)."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, 0.8).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(docs, 0.8, max_shingle_df=20).collect()
+    }
+    assert pruned == exact
+
+
 def test_minhash_lsh_finds_exact_and_near_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in dd.minhash_lsh_pairs(_docs(spark), 0.5).collect()}
     assert {(1, 2), (1, 5), (2, 5)} <= pairs

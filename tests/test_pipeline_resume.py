@@ -44,6 +44,26 @@ def test_fused_and_materialized_pipelines_agree(spark, tmp_path):
     assert fused == mat
 
 
+def test_incremental_run_equals_full_recompute(spark, tmp_path):
+    first = generate_pages(spark, 100, partitions=4)
+    second_drop = generate_pages(spark, 150, partitions=4, start=100)
+    all_pages = generate_pages(spark, 150, partitions=4)
+
+    wd_inc = str(tmp_path / "inc")
+    pipe = KgPipeline(spark, wd_inc, "inc")
+    pipe.run(first)
+    # the drop overlaps already-processed urls (0-99) + brings new (100-149);
+    # overlap must be skipped, not double-counted
+    out_inc = _triples(pipe.run_incremental(generate_pages(spark, 150, partitions=4)))
+
+    wd_full = str(tmp_path / "full")
+    out_full = _triples(KgPipeline(spark, wd_full, "full").run(all_pages))
+    assert out_inc == out_full
+    # second incremental with no new pages is a no-op on the counts
+    out_again = _triples(pipe.run_incremental(second_drop))
+    assert out_again == out_full
+
+
 def test_lineage_and_metrics_written(spark, tmp_path):
     from entity_extractor_by_pointer_spark.plans.pipeline import PipelineConfig
 
