@@ -1,0 +1,40 @@
+"""Explicit skew-handling join: salt-and-replicate.
+
+AQE's skew-join splitting (enabled globally in ``session.get_spark``) covers
+most cases at runtime; this operator is the explicit fallback for joins AQE
+cannot rebalance — e.g. when one key holds a double-digit percentage of all
+rows ("中国"-grade entities at crawl scale) or when the build side must stay
+a shuffle join (too big to broadcast).
+
+Technique: the fact side gets a uniform random-ish salt in [0, K) appended
+to the join key; the dim side is replicated K× with every salt value; the
+join key becomes (key, salt) so a hot key's rows spread over K reducers.
+Exactly one dim replica matches each fact row → result is row-identical to
+the unsalted join (asserted in tests/test_skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` (large, possibly skewed on ``key``) with ``dim``
+    (smaller, but above the broadcast threshold) on ``key``."""
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int")
+    )
+    replicas = dim.crossJoin(
+        F.broadcast(
+            fact.sparkSession.range(salt_buckets).select(F.col("id").cast("int").alias("_salt"))
+        )
+    )
+    out = salted_fact.join(replicas, [key, "_salt"], how)
+    return out.drop("_salt")
