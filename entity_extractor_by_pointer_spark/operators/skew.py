@@ -19,6 +19,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    min_share: float = 0.01,
+    top_k: int = 20,
+) -> list[tuple[str, int]]:
+    """First-pass hot-key detection (SURVEY.md §4 item 1): keys holding more
+    than ``min_share`` of all rows, by exact count-by-key (map-side combined
+    — one row per key per partition crosses the shuffle). The pipeline logs
+    these to ``_metrics`` so skew decisions are observable per run; callers
+    route detected keys through ``salted_join``/``salted_count``."""
+    total = df.count()
+    if total == 0:
+        return []
+    rows = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= total * min_share)
+        .orderBy(F.desc("n"), F.asc(key))
+        .limit(top_k)
+        .collect()
+    )
+    return [(r[key], int(r["n"])) for r in rows]
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

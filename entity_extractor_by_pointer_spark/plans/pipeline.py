@@ -72,6 +72,16 @@ class KgPipeline:
 
         mentions = self._stage("mentions", resume, mentions_stage)
 
+        # observability for skew decisions: persist hot mention surfaces
+        # (share ≥ 2%) into _metrics (SURVEY.md §4 hot-key detection)
+        from ..operators.skew import detect_hot_keys
+
+        hot = detect_hot_keys(mentions, "entity", min_share=0.02, top_k=10)
+        if hot:
+            self.writer.log_metrics(
+                "hot_keys", {f"mentions.entity:{k}": float(n) for k, n in hot}
+            )
+
         aliases = alias_df(
             self.spark, [(name, eid) for name, _t, eid in cfg.aliases]
         )

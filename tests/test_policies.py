@@ -32,6 +32,7 @@ def test_no_collect_in_operator_hot_paths():
         "pipeline.py",  # invariant-check aggregate
         "evaluate.py",  # final metrics rows
         "__main__.py",  # CLI result display (top-10 limit)
+        "skew.py",  # hot-key detection collects a ≤top_k aggregate
     }
     bad = []
     for path in PKG.rglob("*.py"):
