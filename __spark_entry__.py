@@ -11,7 +11,12 @@ both sides (bitwise-identical doubles) or round to a fixed grid.
 from __future__ import annotations
 
 import os
+import sys
 from collections.abc import Callable
+
+# the driver may import this module from any CWD; make the sibling package
+# importable regardless
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -76,7 +81,28 @@ ANN_K = 5
 ANN_QUERIES = 10  # vec_id < 10 are the query set
 
 
+_PYFILES_SESSIONS: set[int] = set()
+
+
+def _ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship the package to executor python workers (the spark-submit
+    --py-files analog), so queries work regardless of the driver's CWD.
+    Idempotent per session."""
+    key = id(spark.sparkContext)
+    if key in _PYFILES_SESSIONS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "entity_extractor_by_pointer_spark")
+    base = os.path.join(tempfile.gettempdir(), f"eeps_pkg_{os.getpid()}")
+    zip_path = shutil.make_archive(base, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir))
+    spark.sparkContext.addPyFile(zip_path)
+    _PYFILES_SESSIONS.add(key)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_package_on_executors(spark)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 

@@ -43,13 +43,12 @@ def connected_components(
     path (the tests exercise both).
     """
     if driver_threshold > 0:
-        sample = edges.limit(driver_threshold + 1).count()
-        if sample <= driver_threshold:
-            pairs = [
-                (r[0], r[1])
-                for r in edges.select(src, dst).where(F.col(src) != F.col(dst)).collect()
-            ]
-            comp = _union_find_min_label(pairs)
+        # single job: fetch up to threshold+1 rows; fall through if more
+        sample = (
+            edges.select(src, dst).where(F.col(src) != F.col(dst)).take(driver_threshold + 1)
+        )
+        if len(sample) <= driver_threshold:
+            comp = _union_find_min_label([(r[0], r[1]) for r in sample])
             if not comp:
                 return edges.sparkSession.createDataFrame(
                     [], f"id {dict(edges.dtypes)[src]}, canon_id {dict(edges.dtypes)[dst]}"
