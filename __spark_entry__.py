@@ -257,29 +257,38 @@ def q_span_eval_f1(spark, sf_dir):
     )
 
 
-def q_ner_model_gp(spark, sf_dir):
-    """Model-path mentions (SeededTinyEncoder + GlobalPointer head) —
-    deterministic but not SQL-expressible (rows-only driver check; exact
-    span parity vs the single-process oracle is covered by pytest)."""
-    docs = _t(spark, sf_dir, "documents").limit(50)
-    cfg = NerConfig(classes=["person", "location", "organization"], model_type="gp")
-    m = detect_mentions(docs.withColumn("url", F.col("doc_id").cast("string")), cfg)
-    return m.groupBy("type").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.countDistinct("entity").alias("n_surfaces"),
+def _model_mentions(spark, sf_dir, model_type: str, logit_bias: float):
+    """Model-path mentions (SeededTinyEncoder + pointer head) over the
+    deterministic ``doc_id < 50`` subset — per-span rows so the driver's
+    DuckDB comparison (vs baked single-process oracle spans, see
+    ``tools/gen_model_oracle.py``) checks every decoded span exactly."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    cfg = NerConfig(
+        classes=["person", "location", "organization"],
+        model_type=model_type,
+        logit_bias=logit_bias,
     )
+    m = detect_mentions(docs.withColumn("url", F.col("doc_id").cast("string")), cfg)
+    # score is deliberately NOT in the compared frame: BLAS gemm rounding is
+    # batch-composition-dependent at the last ulp, so the float differs
+    # between Arrow batchings while the decoded span SET (the semantic
+    # contract, reference engines/data.py:93-115) is stable. Full-precision
+    # score parity is pinned single-process-vs-single-process in pytest.
+    return m.select(
+        F.col("url").cast("int").alias("doc_id"),
+        "type",
+        "entity",
+        "start_idx",
+        "end_idx",
+    )
+
+
+def q_ner_model_gp(spark, sf_dir):
+    return _model_mentions(spark, sf_dir, "gp", -4.0)
 
 
 def q_ner_model_bp(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").limit(50)
-    cfg = NerConfig(
-        classes=["person", "location", "organization"], model_type="bp", logit_bias=-2.0
-    )
-    m = detect_mentions(docs.withColumn("url", F.col("doc_id").cast("string")), cfg)
-    return m.groupBy("type").agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.countDistinct("entity").alias("n_surfaces"),
-    )
+    return _model_mentions(spark, sf_dir, "bp", -2.0)
 
 
 # ---------------------------------------------------------------------------
@@ -600,10 +609,18 @@ def q_sketch_distinct_users(spark, sf_dir):
 
 def q_sketch_value_quantiles(spark, sf_dir):
     """Approximate quantiles per event type (GK sketch via
-    percentile_approx). Rows-only driver check; accuracy tested in pytest."""
+    percentile_approx). Rows-only driver check; accuracy tested in pytest.
+    Scalar columns (not an array) so the driver's canonicalizer can hash
+    the frame even though values stay approximate."""
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("quantiles")
+    q = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q")
+    )
+    return q.select(
+        "event_type",
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p95"),
+        F.col("q")[2].alias("p99"),
     )
 
 
@@ -675,6 +692,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": q_sketch_distinct_users,
         "sketch_value_quantiles": q_sketch_value_quantiles,
     }
+
+
+def _model_oracle_values_sql(model_type: str) -> str:
+    """Baked single-process oracle spans for the model-path NER queries
+    (generated offline by ``tools/gen_model_oracle.py`` — the numpy model run
+    without Spark). Keyed by scale factor; the driver compares at sf0.01."""
+    import json
+
+    sf = os.path.basename(os.environ.get("CHECK_SF_DIR", "sf0.01").rstrip("/")) or "sf0.01"
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "model_oracle_values.json")
+    with open(path) as f:
+        spans = json.load(f)[sf][model_type]
+    if not spans:
+        return (
+            "SELECT CAST(NULL AS INT) AS doc_id, '' AS type, '' AS entity, "
+            "CAST(NULL AS INT) AS start_idx, CAST(NULL AS INT) AS end_idx "
+            "WHERE FALSE"
+        )
+
+    def esc(s: str) -> str:
+        return s.replace("'", "''")
+
+    rows = ", ".join(
+        f"({d}, '{esc(t)}', '{esc(e)}', {s}, {en})" for d, t, e, s, en, _sc in spans
+    )
+    return (
+        f"SELECT * FROM (VALUES {rows}) "
+        "AS t(doc_id, type, entity, start_idx, end_idx)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -751,6 +797,8 @@ def oracle_sql() -> dict[str, str]:
     pred_case = _pred_case_sql()
 
     return {
+        "ner_model_gp": _model_oracle_values_sql("gp"),
+        "ner_model_bp": _model_oracle_values_sql("bp"),
         "ner_mentions": f"""
             WITH {mentions_cte.strip()}
             SELECT DISTINCT doc_id, type, entity FROM mentions
@@ -1045,7 +1093,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_json_extract": """
             SELECT event_type, count(*) AS n_events,
-                   sum(json_extract(props, '$.k')::INT) AS sum_k,
+                   sum(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
                    max(json_extract(props, '$.k')::INT) AS max_k
             FROM events GROUP BY event_type
         """,

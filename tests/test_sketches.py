@@ -29,7 +29,10 @@ def test_hll_distinct_within_5pct_of_exact(spark):
 def test_quantiles_bracket_exact_percentiles(spark):
     import pyspark.sql.functions as F
 
-    rows = {r["event_type"]: r["quantiles"] for r in E.q_sketch_value_quantiles(spark, SF).collect()}
+    rows = {
+        r["event_type"]: (r["p50"], r["p95"], r["p99"])
+        for r in E.q_sketch_value_quantiles(spark, SF).collect()
+    }
     exact = {
         r["event_type"]: r["q"]
         for r in E._t(spark, SF, "events")
