@@ -75,7 +75,18 @@ CANON_MAP = {
 }
 
 JACCARD_THRESHOLD = 0.8
-COSINE_THRESHOLD = 0.35  # demo threshold; production near-dup uses ~0.95
+# blocking-join document-frequency cap: shingles appearing in more than this
+# many docs are excluded from candidate generation (NOT from verification).
+# At production scale this is set as a fraction of corpus size; here it is
+# an absolute demo value comfortably above the worst true-pair min-df (10).
+JACCARD_DF_CAP = 16
+# near-dup cosine: production threshold. The testdata embeddings contain no
+# true near-dups (max pairwise cosine ~0.6), so the near-dup query runs over
+# a DERIVED corpus: embeddings ∪ deterministically perturbed copies, whose
+# (orig, copy) pairs have cosine ≥ 0.9995 by construction. Both the Spark
+# query and the oracle build the same corpus.
+NEARDUP_COS_THRESHOLD = 0.95
+NEARDUP_ID_OFFSET = 1_000_000
 SIMHASH_MAX_HAMMING = 3
 ANN_K = 5
 ANN_QUERIES = 10  # vec_id < 10 are the query set
@@ -324,7 +335,14 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    """Capped blocking is the DEFAULT (stop-shingles with df > cap never
+    enter the candidate join, bounding fan-out to O(cap²) per shingle at
+    crawl scale). The oracle computes EXACT blocking, so this query's green
+    CORRECTNESS row is the proof that cap-blocking loses no pair ≥ threshold
+    on the testdata (worst true-pair min shared-shingle df is 10 at sf0.1)."""
+    return dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df=JACCARD_DF_CAP
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -336,14 +354,39 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_clusters_cc(spark, sf_dir):
-    pairs = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df=JACCARD_DF_CAP
+    )
     return connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "id", "doc_id"
     )
 
 
+def _augmented_embeddings(spark, sf_dir):
+    """embeddings ∪ per-coordinate-perturbed copies (even coords ×1.03, odd
+    ×0.97; vec_id shifted by NEARDUP_ID_OFFSET). Gives the corpus true
+    near-duplicate pairs (cosine ≥ 0.9995) so the blocked near-dup operator
+    is exercised at its production threshold. Mirrored verbatim in SQL."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = e.select(
+        (F.col("vec_id") + F.lit(NEARDUP_ID_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i % 2 == 0, x * F.lit(1.03)).otherwise(x * F.lit(0.97)),
+        ).alias("embedding"),
+    )
+    return e.unionAll(pert)
+
+
 def q_neardup_embedding_cosine(spark, sf_dir):
-    return dd.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), COSINE_THRESHOLD)
+    """LSH-banded blocking + exact-cosine verify (no cross join anywhere).
+    The oracle is the EXACT brute-force SQL over the same corpus, so the
+    green row proves the blocked plan loses no pair at this threshold."""
+    return dd.embedding_cosine_pairs_blocked(
+        _augmented_embeddings(spark, sf_dir), NEARDUP_COS_THRESHOLD
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -934,11 +977,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS doc_id, least(a, min(b)) AS canon_id FROM reach GROUP BY a
         """,
         "neardup_embedding_cosine": f"""
-            WITH {cos_cte.strip()}
+            WITH aug AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, len(embedding)),
+                                      i -> embedding[i]::DOUBLE) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + {NEARDUP_ID_OFFSET},
+                       list_transform(generate_series(1, len(embedding)),
+                                      i -> embedding[i]::DOUBLE *
+                                           (CASE WHEN (i - 1) % 2 = 0 THEN 1.03 ELSE 0.97 END))
+                FROM embeddings
+            ),
+            e AS (SELECT vec_id, v, {_norm_sql('v')} AS nrm FROM aug)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 4) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 4) >= {COSINE_THRESHOLD}
+            WHERE round({_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 4) >= {NEARDUP_COS_THRESHOLD}
         """,
         "ann_topk": f"""
             WITH {cos_cte.strip()},

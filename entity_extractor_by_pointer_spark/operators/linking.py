@@ -21,10 +21,17 @@ def alias_df(spark, alias_pairs: list[tuple[str, str]]) -> DataFrame:
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     """mentions + (entity_id, link_conf); unlinked mentions keep NULL id."""
-    dim = aliases.select(
-        F.lower(F.trim(F.col("surface"))).alias("_norm_surface"),
-        "entity_id",
-    ).dropDuplicates(["_norm_surface"])
+    # deterministic pick when two alias entries normalize to one surface:
+    # min(entity_id) — dropDuplicates keeps an arbitrary row and would make
+    # linking partitioning-dependent (round-1 ADVICE)
+    dim = (
+        aliases.select(
+            F.lower(F.trim(F.col("surface"))).alias("_norm_surface"),
+            "entity_id",
+        )
+        .groupBy("_norm_surface")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
     fact = mentions.withColumn("_norm_surface", F.lower(F.trim(F.col("entity"))))
     linked = fact.join(F.broadcast(dim), "_norm_surface", "left").drop("_norm_surface")
     return linked.withColumn(

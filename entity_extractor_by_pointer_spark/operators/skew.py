@@ -52,7 +52,17 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Join ``fact`` (large, possibly skewed on ``key``) with ``dim``
-    (smaller, but above the broadcast threshold) on ``key``."""
+    (smaller, but above the broadcast threshold) on ``key``.
+
+    Only fact-preserving join types are row-identical to the unsalted join:
+    the dim side is replicated ``salt_buckets`` times, so right/full joins
+    would emit each unmatched dim row once per replica."""
+    if how not in ("inner", "left", "left_semi", "left_anti", "left_outer"):
+        raise ValueError(
+            f"salted_join supports fact-preserving join types only, got {how!r}: "
+            "the salt-replicated dim side would duplicate unmatched dim rows "
+            "under right/full joins"
+        )
     salted_fact = fact.withColumn(
         "_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)).cast("int")
     )

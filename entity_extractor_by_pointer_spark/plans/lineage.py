@@ -52,7 +52,32 @@ class StageWriter:
         )
 
     def read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._stage_path(stage))
+        """Base stage table ∪ committed increment snapshots.
+
+        Increments (``run_incremental``) live under ``<stage>_inc/<inc_id>``.
+        A snapshot becomes visible only once its ``_SUCCESS`` marker exists
+        (written at Spark job commit), so readers never observe a
+        partially-written increment — the parquet emulation of Iceberg
+        snapshot isolation. Roots are read separately and unioned by name so
+        partition-column layouts stay per-root."""
+        base = self._stage_path(stage)
+        df = self.spark.read.parquet(base)
+        inc_root = base + "_inc"
+        if os.path.exists(inc_root):
+            for d in sorted(os.listdir(inc_root)):
+                p = os.path.join(inc_root, d)
+                # an increment is COMMITTED only once the pages snapshot of
+                # the same inc_id exists (pages is written last): orphaned
+                # mentions/triples snapshots from a crashed increment stay
+                # invisible until the retry overwrites + commits them
+                commit_marker = os.path.join(self.workdir, "pages_inc", d, "_SUCCESS")
+                if (
+                    os.path.isdir(p)
+                    and os.path.exists(os.path.join(p, "_SUCCESS"))
+                    and os.path.exists(commit_marker)
+                ):
+                    df = df.unionByName(self.spark.read.parquet(p))
+        return df
 
     def write_stage(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
         """Materialize a stage, then append per-partition lineage rows."""

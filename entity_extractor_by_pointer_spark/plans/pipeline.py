@@ -134,12 +134,25 @@ class KgPipeline:
         )
         return counts
 
-    def run_incremental(self, new_pages: DataFrame) -> DataFrame:
+    def run_incremental(self, new_pages: DataFrame, _fail_after: str | None = None) -> DataFrame:
         """Process only pages not yet in the materialized ``pages`` stage and
-        APPEND their mentions/triples — exact, because every stage up to
+        append their mentions/triples — exact, because every stage up to
         triples is per-document independent (mentions, linking, canon are
         per-row; triples pair entities within one document), so
         incremental-append ≡ full recompute over the union (tested).
+
+        Commit protocol (crash-exact at every boundary): each increment is a
+        SNAPSHOT directory ``<stage>_inc/<inc_id>`` keyed by a deterministic
+        content hash of the fresh url set, written mode=overwrite in the
+        order mentions → triples → pages. The *pages* snapshot is the commit
+        marker — the next run's anti-join keys on pages, so a crash before
+        it leaves the same fresh set, the retry recomputes the same
+        ``inc_id`` and idempotently overwrites the orphaned snapshots; a
+        crash after it leaves a complete increment. Snapshots without a
+        ``_SUCCESS`` marker are invisible to readers (``StageWriter
+        .read_stage``). ``_fail_after`` is a test hook that raises after the
+        named stage's write, to exercise exactly those crash windows.
+
         ``triple_counts`` is re-aggregated from the full triples table (a
         cheap salted count). This is the batch-side analog of the streaming
         ingest path for periodic crawl drops.
@@ -152,8 +165,24 @@ class KgPipeline:
 
         existing_urls = self.writer.read_stage("pages").select("url")
         fresh = new_pages.join(existing_urls, "url", "left_anti")
-        fresh_t = self._extract_checked(fresh)
-        fresh_t.write.mode("append").parquet(os.path.join(self.writer.workdir, "pages"))
+        fresh_t = self._extract_checked(fresh).persist()
+        # deterministic increment id: order-insensitive xor of url hashes +
+        # count — a single aggregate row, no driver-side url collection
+        sig = fresh_t.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "bit_xor(cast(conv(substring(md5(url), 1, 15), 16, 10) AS bigint))"
+            ).alias("h"),
+        ).first()
+        n_new = int(sig["n"])
+        if n_new == 0:
+            fresh_t.unpersist()
+            self.writer.log_metrics("incremental", {"new_pages": 0.0})
+            return self.writer.read_stage("triple_counts")
+        inc_id = f"inc_{(int(sig['h']) & ((1 << 60) - 1)):015x}_{n_new}"
+
+        def _inc_path(stage: str) -> str:
+            return os.path.join(self.writer.workdir, f"{stage}_inc", inc_id)
 
         if cfg.scorer == "gazetteer":
             mentions_new = detect_mentions_gazetteer(
@@ -168,25 +197,32 @@ class KgPipeline:
                     max_sequence_length=cfg.max_sequence_length,
                 ),
             )
-        mentions_new.write.mode("append").parquet(os.path.join(self.writer.workdir, "mentions"))
+        mentions_new.write.mode("overwrite").parquet(_inc_path("mentions"))
+        if _fail_after == "mentions":
+            raise RuntimeError("injected failure after mentions increment")
 
+        mentions_inc = self.spark.read.parquet(_inc_path("mentions"))
         aliases = alias_df(self.spark, [(name, eid) for name, _t2, eid in cfg.aliases])
         canon_edges = self.spark.createDataFrame(cfg.canon_edges, "src string, dst string")
-        linked_new = link_mentions(mentions_new, aliases).where(F.col("entity_id").isNotNull())
+        linked_new = link_mentions(mentions_inc, aliases).where(F.col("entity_id").isNotNull())
         canonical_new = canonicalize_entities(linked_new, canon_edges)
         triples_new = (
             build_triples(canonical_new)
             .withColumn("subj_bucket", F.pmod(F.hash("subj"), F.lit(16)))
         )
-        triples_new.write.mode("append").partitionBy("subj_bucket").parquet(
-            os.path.join(self.writer.workdir, "triples")
+        triples_new.write.mode("overwrite").partitionBy("subj_bucket").parquet(
+            _inc_path("triples")
         )
+        if _fail_after == "triples":
+            raise RuntimeError("injected failure after triples increment")
+
+        # COMMIT: pages last — only now does the anti-join see these urls
+        fresh_t.write.mode("overwrite").parquet(_inc_path("pages"))
+        fresh_t.unpersist()
 
         all_triples = self.writer.read_stage("triples").drop("subj_bucket")
         counts = self.writer.write_stage("triple_counts", triple_counts(all_triples))
-        self.writer.log_metrics(
-            "incremental", {"new_pages": float(fresh_t.count())}
-        )
+        self.writer.log_metrics("incremental", {"new_pages": float(n_new)})
         return counts
 
     def _extract_checked(self, pages: DataFrame) -> DataFrame:

@@ -41,9 +41,15 @@ def _first_seen(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Ite
         return  # fingerprint already emitted in an earlier micro-batch
     first = None
     for pdf in pdf_iter:
-        if len(pdf) and first is None:
-            # deterministic pick: lexicographically smallest url in the batch
-            first = pdf.sort_values("url").iloc[0]
+        if not len(pdf):
+            continue
+        # deterministic pick: lexicographically smallest url across ALL
+        # Arrow chunks of the group (a group can span multiple chunks when
+        # it exceeds maxRecordsPerBatch — comparing only the first chunk
+        # would make the pick chunk-order-dependent)
+        head = pdf.sort_values("url").iloc[0]
+        if first is None or head["url"] < first["url"]:
+            first = head
     if first is not None:
         state.update((True,))
         yield pd.DataFrame(

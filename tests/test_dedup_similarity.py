@@ -156,3 +156,36 @@ def test_ivf_assign_covers_all_vectors(spark):
     cells = sim.ivf_assign(df).collect()
     assert len(cells) == 30
     assert all(0 <= r["cell"] < sim.IVF_CELLS for r in cells)
+
+
+def test_blocked_cosine_equals_bruteforce_on_neardup_corpus(spark):
+    """The LSH-banded blocked near-dup (the crawl-scale default) must return
+    exactly the brute-force pairs on the derived near-dup corpus."""
+    import __spark_entry__ as E
+
+    aug = E._augmented_embeddings(spark, "/root/testdata/sf0.001")
+    blocked = {
+        tuple(r) for r in dd.embedding_cosine_pairs_blocked(aug, 0.95).collect()
+    }
+    brute = {tuple(r) for r in dd.embedding_cosine_pairs(aug, 0.95).collect()}
+    assert blocked == brute
+    assert len(blocked) == 500  # one pair per original vector
+
+
+def test_jaccard_df_cap_prunes_hot_shingles_from_blocking(spark):
+    """A pair whose ONLY shared shingles are hotter than the cap must be
+    dropped by capped blocking (and found by exact blocking) — i.e. the cap
+    genuinely bounds the candidate join's per-shingle fan-out."""
+    hot = "the quick brown"  # shared 3-shingle, df = 6 below
+    rows = [(i, f"{hot} fox{i} a{i} b{i} c{i} d{i} e{i}") for i in range(1, 7)]
+    # two docs sharing ONLY the hot shingle with high enough jaccard
+    rows += [(10, "the quick brown"), (11, "the quick brown")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {(r["id_a"], r["id_b"]) for r in dd.ngram_jaccard_pairs(docs, 0.9).collect()}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.ngram_jaccard_pairs(docs, 0.9, max_shingle_df=4).collect()
+    }
+    assert (10, 11) in exact
+    assert (10, 11) not in capped  # its only shingle has df=8 > cap
+    assert capped <= exact

@@ -79,3 +79,36 @@ def test_lineage_and_metrics_written(spark, tmp_path):
     metrics = pipe.writer.read_metrics()
     keys = {r["key"] for r in metrics.select("key").distinct().collect()}
     assert {"rows_out", "seconds", "triples_per_sec"} <= keys
+
+
+def test_incremental_crash_windows_are_exact(spark, tmp_path):
+    """A crash after ANY increment write must leave a state from which a
+    plain retry converges to exactly the full-recompute result (round-1
+    ADVICE: pages must commit LAST, not first)."""
+    import pytest
+
+    first = generate_pages(spark, 60, partitions=4)
+    drop = generate_pages(spark, 90, partitions=4)  # 60 overlap + 30 new
+    all_pages = generate_pages(spark, 90, partitions=4)
+
+    for window in ("mentions", "triples"):
+        wd = str(tmp_path / f"crash_{window}")
+        pipe = KgPipeline(spark, wd, "c1")
+        pipe.run(first)
+        n_mentions_before = pipe.writer.read_stage("mentions").count()
+        with pytest.raises(RuntimeError, match="injected failure"):
+            pipe.run_incremental(drop, _fail_after=window)
+        # orphaned snapshots are invisible (pages commit marker missing)
+        assert pipe.writer.read_stage("mentions").count() == n_mentions_before
+        # plain retry: same fresh set → same inc_id → idempotent overwrite
+        out = _triples(pipe.run_incremental(drop))
+        full = _triples(
+            KgPipeline(spark, str(tmp_path / f"full_{window}"), "cf").run(all_pages)
+        )
+        assert out == full
+        # and the increment is now visible exactly once
+        assert (
+            pipe.writer.read_stage("pages").select("url").distinct().count()
+            == pipe.writer.read_stage("pages").count()
+            == 90
+        )

@@ -55,3 +55,11 @@ def test_mention_stage_prunes_html_binary(spark, tmp_path):
 def test_linking_broadcasts_alias_dim(spark):
     plan = _plan(E.q_entity_linking(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_neardup_cosine_plan_has_no_cartesian(spark):
+    """The near-dup default must be the blocked plan: equi-join on
+    (band, bucket), never a cross join of the corpus with itself."""
+    plan = _plan(E.q_neardup_embedding_cosine(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
