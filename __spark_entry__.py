@@ -49,6 +49,7 @@ from entity_extractor_by_pointer_spark.operators.mentions import (
     detect_mentions_gazetteer,
     mention_sets,
 )
+from entity_extractor_by_pointer_spark.operators import train_distributed as td
 from entity_extractor_by_pointer_spark.operators.multimodal import extract_media_features
 from entity_extractor_by_pointer_spark.operators.triples import build_triples, triple_counts
 
@@ -650,6 +651,30 @@ def q_sketch_distinct_users(spark, sf_dir):
     )
 
 
+# seeded weights for the oracle-checked distributed gradient step
+TRAIN_W0 = (0.1, -0.2, 0.3, -0.05)
+
+
+def q_train_grad_step(spark, sf_dir):
+    """One full-batch logistic-regression gradient at seeded weights,
+    computed as a pure DataFrame aggregation (the distributed training
+    loop's inner step — SURVEY.md §2 T3 evidence; the loop itself, with the
+    optimizer zoo / FGM / PGD / warmup / early-stop mirroring reference
+    train.py:80-233, is pinned by tests/test_training.py). Rounded to 6
+    decimals so Spark's and DuckDB's libm exp/ln ulps can't differ."""
+    import numpy as np
+
+    feats = td.doc_features(_t(spark, sf_dir, "documents"))
+    row = td.logistic_grad_df(feats, np.array(TRAIN_W0))
+    kv = []
+    for j in range(td.N_FEATURES):
+        kv += [f"'g{j}'", f"round(g{j}, 6)"]
+    kv += ["'loss'", "round(loss, 6)", "'n'", "cast(n AS double)"]
+    return row.select(
+        F.expr(f"stack({td.N_FEATURES + 2}, {', '.join(kv)}) AS (metric, value)")
+    )
+
+
 def q_sketch_value_quantiles(spark, sf_dir):
     """Approximate quantiles per event type (GK sketch via
     percentile_approx). Rows-only driver check; accuracy tested in pytest.
@@ -734,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_band_join": q_price_band_join,
         "sketch_distinct_users": q_sketch_distinct_users,
         "sketch_value_quantiles": q_sketch_value_quantiles,
+        "train_grad_step": q_train_grad_step,
     }
 
 
@@ -839,9 +865,38 @@ def oracle_sql() -> dict[str, str]:
 
     pred_case = _pred_case_sql()
 
+    w0, w1, w2, w3 = TRAIN_W0
+
     return {
         "ner_model_gp": _model_oracle_values_sql("gp"),
         "ner_model_bp": _model_oracle_values_sql("bp"),
+        "train_grad_step": f"""
+            WITH f AS (
+                SELECT (lang = 'en')::INT::DOUBLE AS y, 1.0 AS x0,
+                       length(text) / 1000.0 AS x1,
+                       len(string_split(text, ' ')) / 100.0 AS x2,
+                       length(text) / (len(string_split(text, ' ')) + 1.0) AS x3
+                FROM documents
+            ),
+            s AS (SELECT y, x0, x1, x2, x3,
+                         ({w0!r} * x0 + {w1!r} * x1 + {w2!r} * x2 + {w3!r} * x3) AS z
+                  FROM f),
+            t AS (SELECT *, 1.0 / (1.0 + exp(-z)) AS p,
+                         greatest(z, 0.0) - z * y + ln(1.0 + exp(-abs(z))) AS l
+                  FROM s),
+            a AS (SELECT sum((p - y) * x0) / count(*) AS g0,
+                         sum((p - y) * x1) / count(*) AS g1,
+                         sum((p - y) * x2) / count(*) AS g2,
+                         sum((p - y) * x3) / count(*) AS g3,
+                         sum(l) / count(*) AS loss, count(*) AS n
+                  FROM t)
+            SELECT 'g0' AS metric, round(g0, 6) AS value FROM a
+            UNION ALL SELECT 'g1', round(g1, 6) FROM a
+            UNION ALL SELECT 'g2', round(g2, 6) FROM a
+            UNION ALL SELECT 'g3', round(g3, 6) FROM a
+            UNION ALL SELECT 'loss', round(loss, 6) FROM a
+            UNION ALL SELECT 'n', n::DOUBLE FROM a
+        """,
         "ner_mentions": f"""
             WITH {mentions_cte.strip()}
             SELECT DISTINCT doc_id, type, entity FROM mentions

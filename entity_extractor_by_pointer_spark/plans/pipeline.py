@@ -41,6 +41,49 @@ class PipelineConfig:
     materialize_all: bool = False
 
 
+def extract_checked(pages: DataFrame) -> DataFrame:
+    """HTML extraction + byte-identity invariant enforcement (module-level so
+    batch, incremental and streaming paths share one implementation)."""
+    extracted = with_extracted_text(pages)
+    mismatches = extracted.agg(extraction_mismatch(extracted)).first()[0] or 0
+    if mismatches:
+        raise ValueError(f"extraction invariant violated on {mismatches} pages")
+    # html pruned here: downstream stages never shuffle the binary column
+    return extracted.select("url", "warc_ts", F.col("extracted_text").alias("text"), "lang")
+
+
+def mentions_for_pages(pages_t: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Extracted pages → mentions under the configured scorer."""
+    if cfg.scorer == "gazetteer":
+        return detect_mentions_gazetteer(
+            pages_t, cfg.gazetteer, max_tokens=cfg.max_sequence_length
+        )
+    return detect_mentions(
+        pages_t,
+        NerConfig(
+            classes=list(cfg.classes),
+            model_type=cfg.scorer,
+            max_sequence_length=cfg.max_sequence_length,
+        ),
+    )
+
+
+def triples_for_pages(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """raw pages → (subj, pred, obj, url) triples, fused (no materialization).
+
+    Every stage through triples is per-document independent, so running this
+    on ANY partition of a corpus into batches and unioning the outputs
+    equals running it once on the whole corpus — the property the
+    incremental AND streaming ingest paths lean on (tested both ways)."""
+    spark = pages.sparkSession
+    pages_t = extract_checked(pages)
+    mentions = mentions_for_pages(pages_t, cfg)
+    aliases = alias_df(spark, [(name, eid) for name, _t, eid in cfg.aliases])
+    canon_edges = spark.createDataFrame(cfg.canon_edges, "src string, dst string")
+    linked = link_mentions(mentions, aliases).where(F.col("entity_id").isNotNull())
+    return build_triples(canonicalize_entities(linked, canon_edges))
+
+
 class KgPipeline:
     def __init__(self, spark: SparkSession, workdir: str, run_id: str, config: PipelineConfig | None = None):
         self.spark = spark
@@ -227,9 +270,4 @@ class KgPipeline:
 
     def _extract_checked(self, pages: DataFrame) -> DataFrame:
         """Run HTML extraction and enforce the byte-identity invariant."""
-        extracted = with_extracted_text(pages)
-        mismatches = extracted.agg(extraction_mismatch(extracted)).first()[0] or 0
-        if mismatches:
-            raise ValueError(f"extraction invariant violated on {mismatches} pages")
-        # html pruned here: downstream stages never shuffle the binary column
-        return extracted.select("url", "warc_ts", F.col("extracted_text").alias("text"), "lang")
+        return extract_checked(pages)

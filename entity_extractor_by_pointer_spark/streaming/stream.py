@@ -102,3 +102,47 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def run_triples_stream_once(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    config=None,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Streaming KG construction: drain new page files into the (subj, pred,
+    obj) graph table, exactly once per micro-batch.
+
+    ``foreachBatch`` runs the SAME fused batch stages
+    (``plans.pipeline.triples_for_pages``: extract → mentions → link →
+    canonicalize → triples) on each micro-batch — exact because every stage
+    through triples is per-document independent, the property the batch
+    incremental path also leans on. Each micro-batch lands in its own
+    ``mb=<batch_id>`` partition directory with mode=overwrite, so a batch
+    retried after a crash REPLACES itself instead of duplicating (foreachBatch
+    is at-least-once; idempotent-by-batch-id is the standard exactly-once
+    recipe). ``spark.read.parquet(out_dir)`` unions all micro-batches via
+    partition discovery. Mirrors ``KgPipeline.run_incremental`` for the
+    continuous-ingest case; batch ≡ stream equality across ≥2 drains is
+    pinned in tests/test_streaming.py.
+    """
+    import os
+
+    from ..plans.pipeline import PipelineConfig, triples_for_pages
+
+    cfg = config or PipelineConfig()
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        triples = triples_for_pages(batch_df, cfg)
+        triples.write.mode("overwrite").parquet(os.path.join(out_dir, f"mb={batch_id}"))
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -112,3 +112,34 @@ def test_incremental_crash_windows_are_exact(spark, tmp_path):
             == pipe.writer.read_stage("pages").count()
             == 90
         )
+
+
+def test_resume_after_kill_between_data_write_and_lineage_commit(spark, tmp_path):
+    """write_stage's commit is the LINEAGE row, appended only after the data
+    write succeeds. A kill in between leaves data + _SUCCESS but no lineage;
+    is_done() must report the stage incomplete and resume must recompute
+    (mode=overwrite) to the identical result."""
+    pages = generate_pages(spark, 80, partitions=4)
+    wd = str(tmp_path / "killwin")
+    pipe = KgPipeline(spark, wd, "k1")
+    out1 = _triples(pipe.run(pages))
+
+    # simulate the crash window on the triples stage: recreate its data dir
+    # (with _SUCCESS) but strip every lineage row by re-initializing lineage
+    # from the OTHER stages only
+    lineage = pipe.writer.read_lineage()
+    kept = lineage.where("stage <> 'triples'").collect()
+    import shutil
+
+    shutil.rmtree(f"{wd}/_lineage")
+    from entity_extractor_by_pointer_spark.plans.lineage import LINEAGE_SCHEMA
+
+    spark.createDataFrame([tuple(r) for r in kept], LINEAGE_SCHEMA).write.parquet(
+        f"{wd}/_lineage"
+    )
+    pipe2 = KgPipeline(spark, wd, "k1-resume")
+    assert (tmp_path / "killwin" / "triples" / "_SUCCESS").exists()
+    assert not pipe2.writer.is_done("triples")  # data there, commit missing
+    assert pipe2.writer.is_done("mentions")
+    out2 = _triples(pipe2.run(pages, resume=True))
+    assert out2 == out1

@@ -85,3 +85,40 @@ def test_stateful_stream_dedup_first_seen(spark, tmp_path):
     ).parquet(pages_dir)
     run_dedup_stream_once(spark, pages_dir, ckpt, out_dir)
     assert spark.read.parquet(out_dir).count() == len(got)
+
+
+def test_stream_triples_equal_batch_across_two_drains(spark, tmp_path):
+    """Streaming KG construction (foreachBatch, per-micro-batch idempotent
+    snapshots) must produce EXACTLY the batch pipeline's triples, including
+    when the input arrives across two separate drains with a checkpoint
+    resume between them."""
+    from entity_extractor_by_pointer_spark.plans.pipeline import (
+        PipelineConfig,
+        triples_for_pages,
+    )
+    from entity_extractor_by_pointer_spark.streaming.stream import (
+        run_triples_stream_once,
+    )
+
+    pages_dir = str(tmp_path / "pages_t")
+    out_dir = str(tmp_path / "triples_out")
+    ckpt = str(tmp_path / "ckpt_t")
+    cfg = PipelineConfig()
+
+    generate_pages(spark, 80, partitions=4).write.parquet(pages_dir)
+    run_triples_stream_once(spark, pages_dir, ckpt, out_dir, cfg, max_files_per_trigger=2)
+
+    # second drop lands later; resumed query must NOT reprocess drained files
+    generate_pages(spark, 120, partitions=4, start=80).write.mode("append").parquet(pages_dir)
+    run_triples_stream_once(spark, pages_dir, ckpt, out_dir, cfg, max_files_per_trigger=2)
+
+    streamed = sorted(
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in spark.read.parquet(out_dir).select("subj", "pred", "obj", "url").collect()
+    )
+    batch = sorted(
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in triples_for_pages(generate_pages(spark, 120, partitions=4), cfg).collect()
+    )
+    assert streamed == batch
+    assert len(streamed) > 0
