@@ -400,6 +400,12 @@ def q_ann_topk_lsh(spark, sf_dir):
     return sim.ann_topk_lsh(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF probe path (nprobe=1): query scans only its coarse cell."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ann_topk_ivf(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
+
+
 def q_ivf_assign(spark, sf_dir):
     return sim.ivf_assign(_t(spark, sf_dir, "embeddings"))
 
@@ -736,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "ivf_assign": q_ivf_assign,
         "multimodal_features": q_multimodal_features,
         # relational core
@@ -1089,6 +1096,31 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
                 FROM scores
             ) WHERE rk = 1
+        """,
+        "ann_topk_ivf": f"""
+            WITH scores AS ({cell_rows}),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT vec_id, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rk
+                    FROM scores
+                ) WHERE rk = 1
+            ),
+            {cos_cte.strip()},
+            ec AS (SELECT e.vec_id, e.v, e.nrm, a.cell
+                   FROM e JOIN assign a ON a.vec_id = e.vec_id),
+            q AS (SELECT vec_id AS query_id, v AS vq, nrm AS nq, cell
+                  FROM ec WHERE vec_id < {ANN_QUERIES}),
+            scored AS (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       {_dot_sql('q.vq', 'c.v')} / (q.nq * c.nrm) AS cosine
+                FROM q JOIN ec c ON c.cell = q.cell AND c.vec_id != q.query_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {ANN_K}
         """,
         "multimodal_features": f"""
             SELECT doc_id AS media_id, octet_length(text::BLOB) AS n_bytes,

@@ -115,6 +115,21 @@ def ivf_centroids(n_cells: int = IVF_CELLS, dim: int = ANN_DIM, seed: int = LSH_
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def best_cell_expr(v, centroids: np.ndarray):
+    """Column: nearest-centroid index by cosine (ties → lowest index, via
+    the strict > comparison — mirrored in the oracle's ORDER BY cell ASC)."""
+    nv = _norm(v)
+    best_cell = F.lit(0)
+    best_score = F.lit(float("-inf"))
+    for ci, c in enumerate(centroids):
+        arr = F.array(*[F.lit(float(x)) for x in c])
+        score = _dot(v, arr) / nv
+        is_better = score > best_score
+        best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_cell
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: np.ndarray | None = None,
@@ -128,13 +143,48 @@ def ivf_assign(
     """
     centroids = ivf_centroids() if centroids is None else centroids
     v = F.col(vec_col).cast("array<double>")
-    nv = _norm(v)
-    best_cell = F.lit(0)
-    best_score = F.lit(float("-inf"))
-    for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        score = _dot(v, arr) / nv
-        is_better = score > best_score
-        best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return embeddings.select(F.col(id_col), best_cell.alias("cell"))
+    return embeddings.select(F.col(id_col), best_cell_expr(v, centroids).alias("cell"))
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe (nprobe=1): each query scans ONLY its own coarse cell.
+
+    Completes the IVF pair with ``ivf_assign``: at scale the corpus is
+    materialized partitioned by ``cell``, so this probe is a partition-pruned
+    scan joined with the broadcast query batch — no corpus shuffle. Exact
+    within the probed cell; recall across cells is the standard IVF
+    trade-off (raise nprobe by unioning neighbor cells)."""
+    centroids = ivf_centroids() if centroids is None else centroids
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("vc"),
+    )
+    corpus = corpus.withColumn("cell", best_cell_expr(F.col("vc"), centroids)).withColumn(
+        "nc", _norm(F.col("vc"))
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("vq"),
+    )
+    qs = qs.withColumn("cell", best_cell_expr(F.col("vq"), centroids)).withColumn(
+        "nq", _norm(F.col("vq"))
+    )
+    joined = corpus.join(F.broadcast(qs), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.withColumn(
+        "cosine", _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

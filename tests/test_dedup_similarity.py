@@ -189,3 +189,26 @@ def test_jaccard_df_cap_prunes_hot_shingles_from_blocking(spark):
     assert (10, 11) in exact
     assert (10, 11) not in capped  # its only shingle has df=8 > cap
     assert capped <= exact
+
+
+def test_ann_topk_ivf_exact_within_cell(spark):
+    """IVF probe (nprobe=1) must return exactly the numpy top-k computed
+    over the query's own coarse cell."""
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {}
+    for r in sim.ann_topk_ivf(df, df.where("vec_id < 4"), k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    cents = sim.ivf_centroids()
+    v = vecs.astype(np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cells = np.argmax(vn @ cents.T, axis=1)
+    s = vn @ vn.T
+    for q in range(4):
+        mates = [i for i in range(60) if cells[i] == cells[q] and i != q]
+        order = sorted(mates, key=lambda i: (-s[q, i], i))[:3]
+        assert [n for _rk, n in sorted(got.get(q, []))] == order
