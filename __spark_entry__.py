@@ -29,8 +29,10 @@ from entity_extractor_by_pointer_spark.functions.model import NerConfig
 from entity_extractor_by_pointer_spark.functions.textstats import (
     bpe_ish_token_count,
     fingerprint64,
+    hash_split,
     lang_id,
     quality_score,
+    tfidf_terms,
     ws_token_count,
 )
 from entity_extractor_by_pointer_spark.operators import dedup as dd
@@ -329,6 +331,25 @@ def q_doc_quality(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint64(F.col("text")).alias("fingerprint"))
+
+
+def q_doc_splits(spark, sf_dir):
+    """Deterministic hash-based train/dev/test split (stable across runs,
+    partitionings and engines) — counts per (split, lang)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(hash_split(F.col("doc_id").cast("string")).alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_top_terms_tfidf(spark, sf_dir):
+    """Corpus-level top-20 terms by tf·ln(N/df) — explode + two map-side-
+    combined aggregations; ties broken by term for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    t = tfidf_terms(d)
+    return t.orderBy(F.desc("tfidf"), F.asc("term")).limit(20)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -734,6 +755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_splits": q_doc_splits,
+        "top_terms_tfidf": q_top_terms_tfidf,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -991,6 +1014,27 @@ def oracle_sql() -> dict[str, str]:
         # doc_lang_id / doc_quality are generated in _textstat_oracles()
         "doc_fingerprint": f"""
             SELECT doc_id, {_H64.format(x=_NORM_SQL)} AS fingerprint FROM documents
+        """,
+        "doc_splits": f"""
+            SELECT CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'dev'
+                        ELSE 'test' END AS split,
+                   lang, count(*) AS n_docs
+            FROM (SELECT ({_H64.format(x='doc_id::VARCHAR')} % 100) AS b, lang
+                  FROM documents)
+            GROUP BY 1, 2
+        """,
+        "top_terms_tfidf": f"""
+            WITH dn AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+            w AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM dn),
+            wf AS (SELECT * FROM w WHERE term != ''),
+            st AS (SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+                   FROM wf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT term, tf, df,
+                   round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+            FROM st, n
+            ORDER BY tfidf DESC, term ASC LIMIT 20
         """,
         "dedup_exact": f"""
             SELECT {_H64.format(x=_NORM_SQL)} AS fingerprint,

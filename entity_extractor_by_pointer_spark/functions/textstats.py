@@ -90,3 +90,40 @@ def md5_int64(col: Column) -> Column:
 def fingerprint64(col: Column) -> Column:
     """Document fingerprint: md5-int64 of normalized text."""
     return md5_int64(norm_text(col))
+
+
+def hash_split(id_col: Column, train_pct: int = 80, dev_pct: int = 10) -> Column:
+    """Deterministic dataset split ('train'|'dev'|'test') by content hash.
+
+    The standard crawl-scale alternative to random splits: stable across
+    runs, partitionings and engines (md5-derived bucket 0-99), so downstream
+    training jobs see an identical split without coordinating state. The
+    reference splits positionally (``train.py:102-106``, operator P1 —
+    ``losses.train_dev_split`` mirrors that); positional splits don't
+    distribute, hash splits do."""
+    bucket = F.pmod(md5_int64(id_col), F.lit(100))
+    return (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + dev_pct, F.lit("dev"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """(term, tf, df, tfidf) over whitespace words of normalized text.
+
+    tf = total occurrences, df = #docs containing the term,
+    tfidf = tf · ln(N/df). All built-in expressions: explode → two
+    aggregations (both map-side combined); the heavy exploded table never
+    shuffles more than once."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term")
+    ).where(F.col("term") != "")
+    n_docs = docs.count()
+    stats = words.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return stats.withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
+    )

@@ -212,3 +212,47 @@ def test_ann_topk_ivf_exact_within_cell(spark):
         mates = [i for i in range(60) if cells[i] == cells[q] and i != q]
         order = sorted(mates, key=lambda i: (-s[q, i], i))[:3]
         assert [n for _rk, n in sorted(got.get(q, []))] == order
+
+
+def test_hash_split_is_deterministic_and_roughly_proportional(spark):
+    """Hash split: stable across partitionings, disjoint, ~80/10/10."""
+    import pyspark.sql.functions as F
+
+    from entity_extractor_by_pointer_spark.functions.textstats import hash_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    one = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(1)
+        .select("doc_id", hash_split(F.col("doc_id").cast("string")).alias("split"))
+        .collect()
+    }
+    many = {
+        r["doc_id"]: r["split"]
+        for r in docs.repartition(16)
+        .select("doc_id", hash_split(F.col("doc_id").cast("string")).alias("split"))
+        .collect()
+    }
+    assert one == many  # partitioning-independent
+    n = len(one)
+    counts = {s: sum(1 for v in one.values() if v == s) for s in ("train", "dev", "test")}
+    assert sum(counts.values()) == n
+    assert 0.7 * n <= counts["train"] <= 0.9 * n
+    assert counts["dev"] > 0 and counts["test"] > 0
+
+
+def test_tfidf_terms_hand_computed(spark):
+    import math
+
+    from entity_extractor_by_pointer_spark.functions.textstats import tfidf_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "banana banana")],
+        "doc_id long, text string",
+    )
+    rows = {r["term"]: r for r in tfidf_terms(docs).collect()}
+    assert rows["apple"]["tf"] == 2 and rows["apple"]["df"] == 1
+    assert rows["banana"]["tf"] == 4 and rows["banana"]["df"] == 3
+    assert rows["banana"]["tfidf"] == 0.0  # ln(3/3) = 0
+    assert rows["apple"]["tfidf"] == round(2 * math.log(3.0 / 1), 6)
+    assert rows["cherry"]["tfidf"] == round(1 * math.log(3.0 / 1), 6)
