@@ -51,32 +51,47 @@ class StageWriter:
             > 0
         )
 
-    def read_stage(self, stage: str) -> DataFrame:
-        """Base stage table ∪ committed increment snapshots.
+    def list_snapshots(self) -> list[str]:
+        """Committed increment snapshot ids in commit order.
+
+        An increment is committed once its *pages* snapshot (written LAST by
+        ``run_incremental``) has a ``_SUCCESS`` marker; commit order is the
+        marker's mtime — the parquet stand-in for Iceberg's snapshot log."""
+        root = os.path.join(self.workdir, "pages_inc")
+        if not os.path.exists(root):
+            return []
+        done = [
+            d
+            for d in os.listdir(root)
+            if os.path.exists(os.path.join(root, d, "_SUCCESS"))
+        ]
+        return sorted(done, key=lambda d: os.path.getmtime(os.path.join(root, d, "_SUCCESS")))
+
+    def read_stage(self, stage: str, as_of: str | None = None) -> DataFrame:
+        """Base stage table ∪ committed increment snapshots (optionally
+        time-traveled).
 
         Increments (``run_incremental``) live under ``<stage>_inc/<inc_id>``.
-        A snapshot becomes visible only once its ``_SUCCESS`` marker exists
-        (written at Spark job commit), so readers never observe a
-        partially-written increment — the parquet emulation of Iceberg
-        snapshot isolation. Roots are read separately and unioned by name so
-        partition-column layouts stay per-root."""
+        A snapshot becomes visible only once its own ``_SUCCESS`` marker AND
+        the same increment's pages commit marker exist (pages is written
+        last), so readers never observe a partially-written or uncommitted
+        increment — the parquet emulation of Iceberg snapshot isolation.
+        ``as_of=<inc_id>`` reads the table as of that committed snapshot
+        (inclusive), Iceberg-time-travel style; ``None`` reads latest.
+        Roots are read separately and unioned by name so partition-column
+        layouts stay per-root."""
         base = self._stage_path(stage)
         df = self.spark.read.parquet(base)
+        snapshots = self.list_snapshots()
+        if as_of is not None:
+            if as_of not in snapshots:
+                raise ValueError(f"unknown or uncommitted snapshot {as_of!r}")
+            snapshots = snapshots[: snapshots.index(as_of) + 1]
         inc_root = base + "_inc"
-        if os.path.exists(inc_root):
-            for d in sorted(os.listdir(inc_root)):
-                p = os.path.join(inc_root, d)
-                # an increment is COMMITTED only once the pages snapshot of
-                # the same inc_id exists (pages is written last): orphaned
-                # mentions/triples snapshots from a crashed increment stay
-                # invisible until the retry overwrites + commits them
-                commit_marker = os.path.join(self.workdir, "pages_inc", d, "_SUCCESS")
-                if (
-                    os.path.isdir(p)
-                    and os.path.exists(os.path.join(p, "_SUCCESS"))
-                    and os.path.exists(commit_marker)
-                ):
-                    df = df.unionByName(self.spark.read.parquet(p))
+        for d in snapshots:
+            p = os.path.join(inc_root, d)
+            if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
+                df = df.unionByName(self.spark.read.parquet(p))
         return df
 
     def write_stage(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:

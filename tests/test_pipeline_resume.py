@@ -143,3 +143,27 @@ def test_resume_after_kill_between_data_write_and_lineage_commit(spark, tmp_path
     assert pipe2.writer.is_done("mentions")
     out2 = _triples(pipe2.run(pages, resume=True))
     assert out2 == out1
+
+
+def test_snapshot_time_travel_reads(spark, tmp_path):
+    """Iceberg-style time travel over increment snapshots: as_of the first
+    increment must show exactly the pre-second-increment state."""
+    import pytest
+
+    wd = str(tmp_path / "tt")
+    pipe = KgPipeline(spark, wd, "tt")
+    pipe.run(generate_pages(spark, 60, partitions=4))
+    pipe.run_incremental(generate_pages(spark, 90, partitions=4))
+    snap1 = pipe.writer.list_snapshots()
+    assert len(snap1) == 1
+    state_after_inc1 = pipe.writer.read_stage("triples").count()
+    pipe.run_incremental(generate_pages(spark, 120, partitions=4))
+    snaps = pipe.writer.list_snapshots()
+    assert len(snaps) == 2 and snaps[0] == snap1[0]
+
+    assert pipe.writer.read_stage("pages", as_of=snaps[0]).count() == 90
+    assert pipe.writer.read_stage("pages").count() == 120
+    assert pipe.writer.read_stage("triples", as_of=snaps[0]).count() == state_after_inc1
+    assert pipe.writer.read_stage("triples").count() > state_after_inc1
+    with pytest.raises(ValueError, match="unknown or uncommitted"):
+        pipe.writer.read_stage("pages", as_of="inc_bogus_1")
