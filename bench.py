@@ -43,8 +43,11 @@ HEADLINE = [
     "neardup_embedding_cosine",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_ivf",
     "ivf_assign",
     "train_grad_step",
+    "doc_splits",
+    "top_terms_tfidf",
     "multimodal_features",
     "doc_quality",
     "doc_lang_id",
