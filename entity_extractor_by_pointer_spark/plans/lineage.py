@@ -94,14 +94,27 @@ class StageWriter:
                 df = df.unionByName(self.spark.read.parquet(p))
         return df
 
-    def write_stage(self, stage: str, df: DataFrame, partition_by: list[str] | None = None) -> DataFrame:
-        """Materialize a stage, then append per-partition lineage rows."""
+    def write_stage(
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        validate=None,
+    ) -> DataFrame:
+        """Materialize a stage, then append per-partition lineage rows.
+
+        ``validate`` (optional callable) runs after the data write but
+        BEFORE the lineage commit — if it raises, the stage has no lineage
+        row, ``is_done`` stays false, and a resume recomputes it (used for
+        single-pass Observation invariant checks)."""
         started = time.time()
         path = self._stage_path(stage)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        if validate is not None:
+            validate()
         out = self.spark.read.parquet(path)
         per_part = (
             out.groupBy(F.spark_partition_id().alias("part_id"))

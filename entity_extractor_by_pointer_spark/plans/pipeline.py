@@ -52,6 +52,32 @@ def extract_checked(pages: DataFrame) -> DataFrame:
     return extracted.select("url", "warc_ts", F.col("extracted_text").alias("text"), "lang")
 
 
+def extract_checked_observed(pages: DataFrame):
+    """Single-pass variant of ``extract_checked``: the invariant aggregate
+    rides the FIRST action on the returned frame via ``Observation`` (zero
+    extra extraction pass — at crawl scale the check is free instead of
+    doubling the most expensive narrow stage). Returns ``(df, finish)``;
+    call ``finish()`` after the materializing action to enforce the
+    invariant."""
+    from pyspark.sql import Observation
+
+    extracted = with_extracted_text(pages)
+    obs = Observation()
+    observed = extracted.observe(
+        obs, extraction_mismatch(extracted).alias("mismatches")
+    )
+    df = observed.select(
+        "url", "warc_ts", F.col("extracted_text").alias("text"), "lang"
+    )
+
+    def finish() -> None:
+        mismatches = obs.get["mismatches"] or 0
+        if mismatches:
+            raise ValueError(f"extraction invariant violated on {mismatches} pages")
+
+    return df, finish
+
+
 def mentions_for_pages(pages_t: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Extracted pages → mentions under the configured scorer."""
     if cfg.scorer == "gazetteer":
@@ -99,7 +125,14 @@ class KgPipeline:
         cfg = self.config
         t0 = time.time()
 
-        pages_t = self._stage("pages", resume, lambda: self._extract_checked(pages))
+        if resume and self.writer.is_done("pages"):
+            pages_t = self.writer.read_stage("pages")
+        else:
+            # invariant check rides the stage write (Observation — one pass);
+            # a failed check aborts BEFORE the lineage commit, so the bad
+            # stage is never marked done
+            observed, finish_check = extract_checked_observed(pages)
+            pages_t = self.writer.write_stage("pages", observed, validate=finish_check)
 
         def mentions_stage() -> DataFrame:
             if cfg.scorer == "gazetteer":
