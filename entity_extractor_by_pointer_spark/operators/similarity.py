@@ -116,18 +116,16 @@ def ivf_centroids(n_cells: int = IVF_CELLS, dim: int = ANN_DIM, seed: int = LSH_
 
 
 def best_cell_expr(v, centroids: np.ndarray):
-    """Column: nearest-centroid index by cosine (ties → lowest index, via
-    the strict > comparison — mirrored in the oracle's ORDER BY cell ASC)."""
+    """Column: nearest-centroid index by cosine (ties → lowest index:
+    array_position finds the FIRST max — mirrored in the oracle's ORDER BY
+    cell ASC). Built as an array argmax so each centroid score is computed
+    exactly once; a when-chain argmax re-embeds every prior score expression
+    in each branch and blows up the codegen tree (~10× slower measured)."""
     nv = _norm(v)
-    best_cell = F.lit(0)
-    best_score = F.lit(float("-inf"))
-    for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(x)) for x in c])
-        score = _dot(v, arr) / nv
-        is_better = score > best_score
-        best_cell = F.when(is_better, F.lit(ci)).otherwise(best_cell)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_cell
+    scores = F.array(
+        *[_dot(v, F.array(*[F.lit(float(x)) for x in c])) / nv for c in centroids]
+    )
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
 
 
 def ivf_assign(
