@@ -254,7 +254,12 @@ class KgPipeline:
         if n_new == 0:
             fresh_t.unpersist()
             self.writer.log_metrics("incremental", {"new_pages": 0.0})
-            return self.writer.read_stage("triple_counts")
+            # re-aggregate counts even with no new pages: a prior run may
+            # have crashed AFTER its pages commit but BEFORE the counts
+            # refresh, in which case the stored counts are stale (covered by
+            # the pages crash-window test)
+            all_triples = self.writer.read_stage("triples").drop("subj_bucket")
+            return self.writer.write_stage("triple_counts", triple_counts(all_triples))
         inc_id = f"inc_{(int(sig['h']) & ((1 << 60) - 1)):015x}_{n_new}"
 
         def _inc_path(stage: str) -> str:
@@ -295,6 +300,8 @@ class KgPipeline:
         # COMMIT: pages last — only now does the anti-join see these urls
         fresh_t.write.mode("overwrite").parquet(_inc_path("pages"))
         fresh_t.unpersist()
+        if _fail_after == "pages":
+            raise RuntimeError("injected failure after pages commit")
 
         all_triples = self.writer.read_stage("triples").drop("subj_bucket")
         counts = self.writer.write_stage("triple_counts", triple_counts(all_triples))

@@ -91,15 +91,20 @@ def test_incremental_crash_windows_are_exact(spark, tmp_path):
     drop = generate_pages(spark, 90, partitions=4)  # 60 overlap + 30 new
     all_pages = generate_pages(spark, 90, partitions=4)
 
-    for window in ("mentions", "triples"):
+    for window in ("mentions", "triples", "pages"):
         wd = str(tmp_path / f"crash_{window}")
         pipe = KgPipeline(spark, wd, "c1")
         pipe.run(first)
         n_mentions_before = pipe.writer.read_stage("mentions").count()
         with pytest.raises(RuntimeError, match="injected failure"):
             pipe.run_incremental(drop, _fail_after=window)
-        # orphaned snapshots are invisible (pages commit marker missing)
-        assert pipe.writer.read_stage("mentions").count() == n_mentions_before
+        if window == "pages":
+            # increment committed; only the counts refresh was lost — the
+            # retry (even with zero fresh pages) must re-aggregate them
+            assert pipe.writer.read_stage("mentions").count() > n_mentions_before
+        else:
+            # orphaned snapshots are invisible (pages commit marker missing)
+            assert pipe.writer.read_stage("mentions").count() == n_mentions_before
         # plain retry: same fresh set → same inc_id → idempotent overwrite
         out = _triples(pipe.run_incremental(drop))
         full = _triples(
