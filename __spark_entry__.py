@@ -233,6 +233,28 @@ def q_triples_flagship(spark, sf_dir):
     return triple_counts(_doc_triples(spark, sf_dir))
 
 
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Graph-consumer query over the materialized KG: in/out/total degree
+    per canonical entity."""
+    from entity_extractor_by_pointer_spark.operators.graph import entity_degrees
+
+    return entity_degrees(_doc_triples(spark, sf_dir))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration damped PageRank over the KG edge set (iterative
+    join+agg per step; oracle unrolls the same iterations as chained CTEs)."""
+    from entity_extractor_by_pointer_spark.operators.graph import pagerank
+
+    return pagerank(
+        _doc_triples(spark, sf_dir), iterations=PAGERANK_ITERS, damping=PAGERANK_DAMPING
+    )
+
+
 def q_top_entities_per_type(spark, sf_dir):
     m = mention_sets(_doc_mentions(spark, sf_dir).withColumnRenamed("doc_id", "url"))
     freq = m.groupBy("type", "entity").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -748,6 +770,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linking_unlinked": q_linking_unlinked,
         "canonical_mentions": q_canonical_mentions,
         "triples_flagship": q_triples_flagship,
+        "graph_degrees": q_graph_degrees,
+        "graph_pagerank": q_graph_pagerank,
         "top_entities_per_type": q_top_entities_per_type,
         "span_eval_f1": q_span_eval_f1,
         # training-data pipeline
@@ -791,6 +815,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_value_quantiles": q_sketch_value_quantiles,
         "train_grad_step": q_train_grad_step,
     }
+
+
+def _triples_edges_cte(canon: str, pred_case: str) -> str:
+    """CTE ``tr``: the distinct (subj, obj) KG edge set — same co-occurrence
+    triple rule as the flagship oracle (requires ``mentions`` CTE in scope)."""
+    return f"""cm AS (
+                SELECT m.doc_id, canon.canon_id, m.type AS etype,
+                       min(m.first_pos) AS first_pos
+                FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+                GROUP BY m.doc_id, canon.canon_id, m.type
+            ),
+            tr AS (
+                SELECT DISTINCT a.canon_id AS subj, b.canon_id AS obj
+                FROM cm a JOIN cm b ON a.doc_id = b.doc_id
+                 AND (a.first_pos < b.first_pos
+                      OR (a.first_pos = b.first_pos AND a.canon_id < b.canon_id))
+            )"""
+
+
+def _pagerank_unrolled_sql(mentions_cte: str, canon: str, pred_case: str) -> str:
+    """Fixed-iteration PageRank as chained CTEs (recursive CTEs can't
+    aggregate in the recursive term, so the iterations are unrolled —
+    bit-faithful mirror of the Spark loop up to sum order, absorbed by the
+    final round(6))."""
+    base_lit = repr(1.0 - PAGERANK_DAMPING)  # same double as the python loop
+    d = PAGERANK_DAMPING
+    iters = []
+    for t in range(PAGERANK_ITERS):
+        prev = f"r{t}"
+        iters.append(
+            f"""c{t + 1} AS (
+                SELECT tr.obj AS entity, sum(r.rank / od.out_deg) AS inflow
+                FROM {prev} r JOIN outd od USING (entity)
+                JOIN tr ON tr.subj = r.entity
+                GROUP BY 1
+            ),
+            r{t + 1} AS (
+                SELECT n.entity,
+                       ({base_lit} / cnt.n) + {d} * coalesce(c.inflow, 0.0) AS rank
+                FROM nodes n LEFT JOIN c{t + 1} c USING (entity), cnt
+            )"""
+        )
+    chain = ",\n            ".join(iters)
+    return f"""
+            WITH {mentions_cte.strip()},
+            {_triples_edges_cte(canon, pred_case)},
+            nodes AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
+            outd AS (SELECT subj AS entity, count(*) AS out_deg FROM tr GROUP BY 1),
+            cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+            r0 AS (SELECT entity, 1.0 / cnt.n AS rank FROM nodes, cnt),
+            {chain}
+            SELECT entity, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
+        """
 
 
 def _model_oracle_values_sql(model_type: str) -> str:
@@ -965,6 +1042,18 @@ def oracle_sql() -> dict[str, str]:
                   OR (a.first_pos = b.first_pos AND a.canon_id < b.canon_id))
             GROUP BY 1, 2, 3
         """,
+        "graph_degrees": f"""
+            WITH {mentions_cte.strip()},
+            {_triples_edges_cte(canon, pred_case)},
+            nodes AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
+            outd AS (SELECT subj AS entity, count(*) AS out_deg FROM tr GROUP BY 1),
+            ind AS (SELECT obj AS entity, count(*) AS in_deg FROM tr GROUP BY 1)
+            SELECT n.entity, coalesce(out_deg, 0) AS out_deg,
+                   coalesce(in_deg, 0) AS in_deg,
+                   coalesce(out_deg, 0) + coalesce(in_deg, 0) AS degree
+            FROM nodes n LEFT JOIN outd USING (entity) LEFT JOIN ind USING (entity)
+        """,
+        "graph_pagerank": _pagerank_unrolled_sql(mentions_cte, canon, pred_case),
         "span_eval_f1": f"""
             WITH {mentions_cte.strip()},
             pred AS (

@@ -1,0 +1,48 @@
+"""Graph analytics over the triple table: degrees + fixed-iteration
+PageRank vs an independent numpy implementation."""
+
+import numpy as np
+
+from entity_extractor_by_pointer_spark.operators.graph import entity_degrees, pagerank
+
+
+def _triples(spark):
+    rows = [
+        ("a", "p", "b", "u1"),
+        ("a", "p", "c", "u1"),
+        ("b", "p", "c", "u2"),
+        ("c", "p", "a", "u3"),
+        ("a", "p", "b", "u4"),  # duplicate edge across docs → one edge
+    ]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, url string")
+
+
+def test_entity_degrees(spark):
+    d = {r["entity"]: (r["out_deg"], r["in_deg"], r["degree"]) for r in entity_degrees(_triples(spark)).collect()}
+    assert d == {"a": (2, 1, 3), "b": (1, 1, 2), "c": (1, 2, 3)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    got = {r["entity"]: r["rank"] for r in pagerank(_triples(spark), iterations=5, damping=0.85).collect()}
+    nodes = ["a", "b", "c"]
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")]
+    out_deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(5):
+        inflow = {v: 0.0 for v in nodes}
+        for s, o in edges:
+            inflow[o] += rank[s] / out_deg[s]
+        rank = {v: (1.0 - 0.85) / n + 0.85 * inflow[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - round(rank[v], 6)) < 1e-9, (v, got[v], rank[v])
+    # ranks are a probability-ish distribution (absorbing variant ≤ 1)
+    assert 0.99 < sum(rank.values()) <= 1.000001
+
+
+def test_pagerank_dangling_node_keeps_base_mass(spark):
+    t = spark.createDataFrame([("a", "p", "b", "u")], "subj string, pred string, obj string, url string")
+    got = {r["entity"]: r["rank"] for r in pagerank(t, iterations=3).collect()}
+    # b has no out-edges (dangling, absorbing variant): contributes nothing
+    assert got["a"] == round((1 - 0.85) / 2, 6)
+    assert got["b"] > got["a"]
