@@ -152,7 +152,7 @@ def run_scaling(pages_path: str) -> dict:
     """
     res: dict[int, float] = {}
     docs = spans = None
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
     for cores in SCALING_CORES:
         best = None
         for _rep in range(reps):  # best-of-N: the sandbox host shows heavy
