@@ -610,6 +610,23 @@ def q_cube_events(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(spark, sf_dir):
+    """Pivot: one row per day, one count column per event type (explicit
+    value list so the plan is a single pass — Catalyst rewrites pivot to
+    conditional aggregates, no per-value scan)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("day")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .fillna(0, subset=list(EVENT_TYPES))
+    )
+
+
 def q_rollup_events(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     return (
@@ -806,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_local_supplier": q5_local_supplier,
         "cube_events": q_cube_events,
         "rollup_events": q_rollup_events,
+        "pivot_events": q_pivot_events,
         "events_sessions": q_events_sessions,
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
@@ -1348,6 +1366,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value FROM events)
             GROUP BY ROLLUP (event_type, day)
+        """,
+        "pivot_events": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+            FROM events GROUP BY 1
         """,
         "events_sessions": """
             WITH g AS (
