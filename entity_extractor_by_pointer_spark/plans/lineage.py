@@ -81,7 +81,16 @@ class StageWriter:
         Roots are read separately and unioned by name so partition-column
         layouts stay per-root."""
         base = self._stage_path(stage)
-        df = self.spark.read.parquet(base)
+        schema_path = os.path.join(base, "_stage_schema.json")
+        if os.path.exists(schema_path):
+            from pyspark.sql.types import StructType
+
+            with open(schema_path) as f:
+                schema = StructType.fromJson(__import__("json").loads(f.read()))
+            reader = self.spark.read.schema(schema)
+        else:
+            reader = self.spark.read
+        df = reader.parquet(base)
         snapshots = self.list_snapshots()
         if as_of is not None:
             if as_of not in snapshots:
@@ -91,7 +100,7 @@ class StageWriter:
         for d in snapshots:
             p = os.path.join(inc_root, d)
             if os.path.isdir(p) and os.path.exists(os.path.join(p, "_SUCCESS")):
-                df = df.unionByName(self.spark.read.parquet(p))
+                df = df.unionByName(reader.parquet(p))
         return df
 
     def write_stage(
@@ -115,7 +124,12 @@ class StageWriter:
         writer.parquet(path)
         if validate is not None:
             validate()
-        out = self.spark.read.parquet(path)
+        # persist the stage schema in the manifest: a zero-row partitioned
+        # write leaves no data files, so later schema inference would fail
+        # (hit by pipelines whose scorer links no entities → zero triples)
+        with open(os.path.join(path, "_stage_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        out = self.spark.read.schema(df.schema).parquet(path)
         per_part = (
             out.groupBy(F.spark_partition_id().alias("part_id"))
             .agg(F.count(F.lit(1)).alias("rows_out"))

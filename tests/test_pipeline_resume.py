@@ -172,3 +172,21 @@ def test_snapshot_time_travel_reads(spark, tmp_path):
     assert pipe.writer.read_stage("triples").count() > state_after_inc1
     with pytest.raises(ValueError, match="unknown or uncommitted"):
         pipe.writer.read_stage("pages", as_of="inc_bogus_1")
+
+
+def test_pipeline_model_scorer_and_empty_triples_are_safe(spark, tmp_path):
+    """The gp model scorer produces mentions that mostly miss the alias
+    dictionary → possibly ZERO triples; the pipeline must still complete,
+    read back empty stages via the persisted stage schema, and resume."""
+    from entity_extractor_by_pointer_spark.plans.pipeline import PipelineConfig
+
+    wd = str(tmp_path / "gp_run")
+    pipe = KgPipeline(spark, wd, "gp", PipelineConfig(scorer="gp"))
+    counts = pipe.run(generate_pages(spark, 120, partitions=4))
+    n = counts.count()  # zero is acceptable — must not raise
+    assert pipe.writer.read_stage("triples").count() >= n
+    assert pipe.writer.is_done("triples")
+    # resume path reads the (possibly empty) stages back without inference
+    pipe2 = KgPipeline(spark, wd, "gp2", PipelineConfig(scorer="gp"))
+    out2 = pipe2.run(generate_pages(spark, 120, partitions=4), resume=True)
+    assert out2.count() == n
