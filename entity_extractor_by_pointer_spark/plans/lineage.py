@@ -83,10 +83,12 @@ class StageWriter:
         base = self._stage_path(stage)
         schema_path = os.path.join(base, "_stage_schema.json")
         if os.path.exists(schema_path):
+            import json
+
             from pyspark.sql.types import StructType
 
             with open(schema_path) as f:
-                schema = StructType.fromJson(__import__("json").loads(f.read()))
+                schema = StructType.fromJson(json.load(f))
             reader = self.spark.read.schema(schema)
         else:
             reader = self.spark.read
