@@ -33,9 +33,42 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--resume", action="store_true", help="skip stages whose output+lineage exist")
     parser.add_argument("--scorer", default="gazetteer", choices=["gazetteer", "gp", "bp"])
     parser.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS])")
+    parser.add_argument(
+        "--predict-text",
+        help="interactive-predict analog (reference main.py:51-63): run the "
+        "pointer model on ONE text and print the spans",
+    )
+    parser.add_argument(
+        "--show-model-info",
+        action="store_true",
+        help="parameter census (reference main.py:76-81 show_model_info)",
+    )
     args = parser.parse_args(argv)
+    if args.show_model_info:
+        from .functions.model import NerConfig, PointerNerModel
+        from .functions.summary import format_summary
+
+        cfg = NerConfig(
+            classes=args.classes.split(","),
+            model_type=args.scorer if args.scorer in ("gp", "bp") else "gp",
+        )
+        print(format_summary(PointerNerModel(cfg)))
+        return 0
+    if args.predict_text is not None:
+        from .functions.model import NerConfig, PointerNerModel
+
+        cfg = NerConfig(
+            classes=args.classes.split(","),
+            model_type=args.scorer if args.scorer in ("gp", "bp") else "gp",
+        )
+        for cls, surfaces in PointerNerModel(cfg).predict_one(args.predict_text).items():
+            print(f"{cls}: {surfaces}")
+        return 0
     if not args.pages_parquet and not args.synth_pages and not args.eval_json:
-        parser.error("one of --pages-parquet / --synth-pages / --eval-json is required")
+        parser.error(
+            "one of --pages-parquet / --synth-pages / --eval-json / "
+            "--predict-text / --show-model-info is required"
+        )
 
     from .plans.pipeline import KgPipeline, PipelineConfig
     from .session import get_spark
