@@ -36,38 +36,60 @@ DEDUP_OUT_SCHEMA = T.StructType(
 STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType(), False)])
 
 
-def _first_seen(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.exists:
-        return  # fingerprint already emitted in an earlier micro-batch
-    first = None
-    for pdf in pdf_iter:
-        if not len(pdf):
-            continue
-        # deterministic pick: lexicographically smallest url across ALL
-        # Arrow chunks of the group (a group can span multiple chunks when
-        # it exceeds maxRecordsPerBatch — comparing only the first chunk
-        # would make the pick chunk-order-dependent)
-        head = pdf.sort_values("url").iloc[0]
-        if first is None or head["url"] < first["url"]:
-            first = head
-    if first is not None:
-        state.update((True,))
-        yield pd.DataFrame(
-            [{"fingerprint": key[0], "url": first["url"], "text": first["text"]}]
-        )
+def _make_first_seen(ttl_ms: int | None):
+    def _first_seen(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # TTL eviction: forget the fingerprint; a later re-crawl of the
+            # same content is treated as new (bounded-state trade-off)
+            state.remove()
+            return
+        if state.exists:
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)  # sliding TTL on re-touch
+            return  # fingerprint already emitted in an earlier micro-batch
+        first = None
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # deterministic pick: lexicographically smallest url across ALL
+            # Arrow chunks of the group (a group can span multiple chunks when
+            # it exceeds maxRecordsPerBatch — comparing only the first chunk
+            # would make the pick chunk-order-dependent)
+            head = pdf.sort_values("url").iloc[0]
+            if first is None or head["url"] < first["url"]:
+                first = head
+        if first is not None:
+            state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+            yield pd.DataFrame(
+                [{"fingerprint": key[0], "url": first["url"], "text": first["text"]}]
+            )
+
+    return _first_seen
 
 
-def stream_dedup_first_seen(pages: DataFrame) -> DataFrame:
-    """pages stream → one row per distinct content fingerprint (first seen)."""
+def stream_dedup_first_seen(pages: DataFrame, ttl_ms: int | None = None) -> DataFrame:
+    """pages stream → one row per distinct content fingerprint (first seen).
+
+    ``ttl_ms`` bounds state at crawl scale: with no TTL the state table is
+    O(all distinct fingerprints ever seen), which on a 10^12-page crawl is
+    itself petabyte-class. A processing-time TTL evicts fingerprints idle
+    longer than the re-crawl horizon — re-crawls inside the horizon are
+    still deduped exactly; older re-crawls re-emit (the standard bounded-
+    state trade-off, made explicit here)."""
     keyed = pages.select(
         fingerprint64(F.col("text")).alias("fingerprint"), "url", "text"
     )
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return keyed.groupBy("fingerprint").applyInPandasWithState(
-        _first_seen,
+        _make_first_seen(ttl_ms),
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
@@ -77,6 +99,7 @@ def run_dedup_stream_once(
     checkpoint_dir: str,
     out_dir: str,
     max_files_per_trigger: int = 4,
+    ttl_ms: int | None = None,
 ) -> None:
     """Drain new pages files into a deduped parquet sink (exactly-once via
     checkpoint; the memory sink can't recover from a checkpoint, a file sink
@@ -87,7 +110,7 @@ def run_dedup_stream_once(
         .parquet(pages_dir)
     )
     q = (
-        stream_dedup_first_seen(stream)
+        stream_dedup_first_seen(stream, ttl_ms=ttl_ms)
         .writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)

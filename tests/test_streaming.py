@@ -122,3 +122,60 @@ def test_stream_triples_equal_batch_across_two_drains(spark, tmp_path):
     )
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_stateful_dedup_ttl_handler_semantics():
+    """Unit-level contract of the TTL handler (a live availableNow drain
+    cannot terminate with ProcessingTimeTimeout pending, so eviction is
+    exercised against a fake GroupState): timed-out state is removed and the
+    fingerprint re-emits; live state renews its TTL and stays deduped."""
+    import pandas as pd
+
+    from entity_extractor_by_pointer_spark.streaming.stateful import _make_first_seen
+
+    class FakeState:
+        def __init__(self, exists=False, timed_out=False):
+            self.exists = exists
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.timeout_set = None
+
+        def remove(self):
+            self.removed = True
+            self.exists = False
+
+        def update(self, v):
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _make_first_seen(ttl_ms=60000)
+    batch = [pd.DataFrame([{"url": "b", "text": "t"}, {"url": "a", "text": "t"}])]
+
+    # fresh fingerprint → emit smallest url, arm TTL
+    st = FakeState()
+    out = list(fn((123,), iter(batch), st))
+    assert len(out) == 1 and out[0].iloc[0]["url"] == "a"
+    assert st.exists and st.timeout_set == 60000
+
+    # seen fingerprint → no emit, sliding TTL renewed
+    st2 = FakeState(exists=True)
+    assert list(fn((123,), iter(batch), st2)) == []
+    assert st2.timeout_set == 60000
+
+    # timed out → evicted, nothing emitted this call
+    st3 = FakeState(exists=True, timed_out=True)
+    assert list(fn((123,), iter(batch), st3)) == []
+    assert st3.removed
+    # next arrival after eviction re-emits (Spark presents a fresh,
+    # non-timed-out state object on real data arrival)
+    st3.hasTimedOut = False
+    out2 = list(fn((123,), iter(batch), st3))
+    assert len(out2) == 1
+
+    # no-TTL handler never arms a timeout
+    fn0 = _make_first_seen(ttl_ms=None)
+    st4 = FakeState()
+    assert len(list(fn0((5,), iter(batch), st4))) == 1
+    assert st4.timeout_set is None
