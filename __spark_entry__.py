@@ -374,6 +374,23 @@ def q_top_terms_tfidf(spark, sf_dir):
     return t.orderBy(F.desc("tfidf"), F.asc("term")).limit(20)
 
 
+CURATE_LANGS = ("en", "de", "fr")
+CURATE_QUALITY_FLOOR = 0.5
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Composite curation verdict per document (exact_dup > lang > quality >
+    kept) — the end-product filter of a training-data pipeline, one narrow
+    pass + the dedup fingerprint aggregation."""
+    from entity_extractor_by_pointer_spark.operators.curation import curate_corpus
+
+    return curate_corpus(
+        _t(spark, sf_dir, "documents"),
+        keep_langs=CURATE_LANGS,
+        quality_floor=CURATE_QUALITY_FLOOR,
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -798,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "doc_splits": q_doc_splits,
         "top_terms_tfidf": q_top_terms_tfidf,
+        "corpus_curation": q_corpus_curation,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1442,10 +1460,25 @@ def _textstat_oracles() -> dict[str, str]:
                                / greatest(length(text), 1) * 5.0, 1.0)), 4) AS quality
         FROM documents
     """
+    langs_in = ", ".join(f"'{lg}'" for lg in CURATE_LANGS)
+    norm_fp = _H64.format(x=_NORM_SQL)
     return {
         "doc_lang_id": f"""
             WITH h AS (SELECT doc_id, {hit_cols} FROM documents)
             SELECT doc_id, {case} AS pred_lang FROM h
         """,
         "doc_quality": quality,
+        "corpus_curation": f"""
+            WITH fp AS (SELECT doc_id, {norm_fp} AS f FROM documents),
+            keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),
+            q AS ({quality})
+            SELECT d.doc_id,
+                   CASE WHEN d.doc_id != k.keep_id THEN 'exact_dup'
+                        WHEN doc.lang NOT IN ({langs_in}) THEN 'lang'
+                        WHEN q.quality < {CURATE_QUALITY_FLOOR} THEN 'quality'
+                        ELSE 'kept' END AS verdict
+            FROM fp d JOIN keep k USING (f)
+            JOIN q ON q.doc_id = d.doc_id
+            JOIN documents doc ON doc.doc_id = d.doc_id
+        """,
     }

@@ -310,3 +310,24 @@ def test_capped_jaccard_semantics_on_randomized_corpora(spark):
         for pair in set(exact) - set(capped):
             shared = sh[pair[0]] & sh[pair[1]]
             assert shared and all(df_count[s] > cap for s in shared), (trial, pair, cap)
+
+
+def test_corpus_curation_precedence(spark):
+    """Verdict precedence: exact_dup beats lang beats quality beats kept."""
+    from entity_extractor_by_pointer_spark.operators.curation import curate_corpus
+
+    good = "the cat and the dog walked to the park and sat in the sun " * 6
+    rows = [
+        (1, good, "en"),            # kept
+        (2, good, "xx"),            # lang (content dups doc 1? same text → exact_dup!)
+        (3, "!!! ??? ***", "en"),   # quality (short, punct-heavy)
+        (4, good + " unique", "xx"),  # lang
+    ]
+    out = {r["doc_id"]: r["verdict"] for r in curate_corpus(
+        spark.createDataFrame(rows, "doc_id long, text string, lang string"),
+        keep_langs=("en",), quality_floor=0.5,
+    ).collect()}
+    assert out[1] == "kept"
+    assert out[2] == "exact_dup"  # dup of doc 1 wins over its bad lang
+    assert out[3] == "quality"
+    assert out[4] == "lang"
