@@ -579,6 +579,33 @@ def q_window_rank(spark, sf_dir):
     )
 
 
+def q_window_moving_avg(spark, sf_dir):
+    """Sliding frame: per-user 3-event moving average of event value
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW, deterministic ordering)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(-2, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mov_avg"),
+    )
+
+
+def q_doc_len_stats(spark, sf_dir):
+    """Per-language corpus statistics: count, mean, sample stddev of doc
+    length (stddev_samp semantics shared by both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        F.round(F.stddev_samp(F.length("text")), 4).alias("sd_len"),
+    )
+
+
 def q_sort_topk(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -837,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct": q_agg_distinct,
         "window_rank": q_window_rank,
         "sort_topk": q_sort_topk,
+        "window_moving_avg": q_window_moving_avg,
+        "doc_len_stats": q_doc_len_stats,
         "union_distinct": q_union_distinct,
         "q5_local_supplier": q5_local_supplier,
         "cube_events": q_cube_events,
@@ -1351,6 +1380,19 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
                 FROM orders
             ) WHERE rk <= 3
+        """,
+        "window_moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+            FROM events
+        """,
+        "doc_len_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(length(text)), 4) AS avg_len,
+                   round(stddev_samp(length(text)), 4) AS sd_len
+            FROM documents GROUP BY lang
         """,
         "sort_topk": """
             SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
