@@ -460,6 +460,17 @@ def q_ann_topk_lsh(spark, sf_dir):
     return sim.ann_topk_lsh(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
 
 
+KMEANS_ITERS = 3
+
+
+def q_ivf_kmeans_train(spark, sf_dir):
+    """Distributed Lloyd refinement of the IVF centroids (fixed iterations;
+    per-iteration 6-dp rounding makes the recursion cross-engine exact).
+    Returns the final centroids as (cell, dim, val) rows."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.kmeans_centroids(e, iterations=KMEANS_ITERS)
+
+
 def q_ann_topk_ivf(spark, sf_dir):
     """IVF probe path (nprobe=1): query scans only its coarse cell."""
     e = _t(spark, sf_dir, "embeddings")
@@ -852,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ivf_kmeans_train": q_ivf_kmeans_train,
         "ivf_assign": q_ivf_assign,
         "multimodal_features": q_multimodal_features,
         # relational core
@@ -932,6 +944,62 @@ def _pagerank_unrolled_sql(mentions_cte: str, canon: str, pred_case: str) -> str
             r0 AS (SELECT entity, 1.0 / cnt.n AS rank FROM nodes, cnt),
             {chain}
             SELECT entity, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
+        """
+
+
+def _kmeans_oracle_sql() -> str:
+    """Unrolled Lloyd iterations as chained CTEs, mirroring
+    ``similarity.kmeans_centroids`` (6-dp rounding each iteration pins the
+    assignments bitwise across engines)."""
+    init = sim.ivf_centroids()
+    k, dim = init.shape
+    c0_rows = ", ".join(
+        "(%d, [%s])" % (ci, ", ".join(repr(round(float(x), 6)) for x in init[ci]))
+        for ci in range(k)
+    )
+    cte = [
+        f"e AS (SELECT vec_id, list_transform(generate_series(1, len(embedding)),"
+        f" i -> embedding[i]::DOUBLE) AS v, {_norm_sql('embedding')} AS nrm FROM embeddings)",
+        f"c0(cell, cvec) AS (SELECT * FROM (VALUES {c0_rows}))",
+    ]
+    for t in range(KMEANS_ITERS):
+        cte.append(
+            f"""s{t} AS (
+                SELECT e.vec_id, e.v, c.cell,
+                       {_dot_sql('e.v', 'c.cvec')} / (e.nrm * {_norm_sql('c.cvec')}) AS cos
+                FROM e CROSS JOIN c{t} c
+            )"""
+        )
+        cte.append(
+            f"""a{t} AS (
+                SELECT vec_id, v, cell FROM (
+                    SELECT vec_id, v, cell, row_number() OVER (
+                        PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rk
+                    FROM s{t}
+                ) WHERE rk = 1
+            )"""
+        )
+        cte.append(
+            f"""m{t} AS (
+                SELECT cell, i AS dim, round(avg(v[i]), 6) AS val
+                FROM a{t}, generate_series(1, {dim}) AS g(i)
+                GROUP BY cell, i
+            )"""
+        )
+        cte.append(
+            f"""n{t} AS (SELECT cell, list(val ORDER BY dim) AS cvec FROM m{t} GROUP BY cell)"""
+        )
+        cte.append(
+            f"""c{t + 1} AS (
+                SELECT c.cell, coalesce(n.cvec, c.cvec) AS cvec
+                FROM c{t} c LEFT JOIN n{t} n USING (cell)
+            )"""
+        )
+    body = ",\n            ".join(cte)
+    return f"""
+            WITH {body}
+            SELECT cell, i - 1 AS dim, cvec[i] AS val
+            FROM c{KMEANS_ITERS}, generate_series(1, {dim}) AS g(i)
         """
 
 
@@ -1041,6 +1109,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "ner_model_gp": _model_oracle_values_sql("gp"),
+        "ivf_kmeans_train": _kmeans_oracle_sql(),
         "ner_model_bp": _model_oracle_values_sql("bp"),
         "train_grad_step": f"""
             WITH f AS (

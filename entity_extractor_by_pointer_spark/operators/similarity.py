@@ -186,3 +186,78 @@ def ann_topk_ivf(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    iterations: int = 3,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd k-means refinement of the IVF coarse centroids.
+
+    Per iteration: assign every vector to its max-cosine centroid (8-row
+    centroid table broadcast into a join; deterministic argmax = row_number
+    over (cosine DESC, cell ASC)), then new centroid = per-dimension mean of
+    members, ROUNDED to 6 decimals. The rounding is what makes the whole
+    recursion cross-engine exact: both engines compute dots as ordered folds
+    over identical rounded centroids, so assignments are bitwise
+    deterministic and the only float noise (mean partial-sum order) is
+    absorbed by the per-iteration rounding. Cells that lose all members keep
+    their previous centroid. Returns (cell, dim, val) rows of the final
+    centroids — the shape the driver's value-hash comparison can check.
+
+    Scale shape per iteration: one broadcast join + one (cell, dim)
+    aggregation over the posexploded vectors — map-side combined, no
+    corpus shuffle beyond the explode's partial aggregation.
+    """
+    init = ivf_centroids() if centroids is None else centroids
+    k, dim = init.shape
+    spark = embeddings.sparkSession
+    vecs = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        _norm(F.col(vec_col).cast("array<double>")).alias("nv"),
+    ).persist()
+    cents = spark.createDataFrame(
+        [(ci, [round(float(x), 6) for x in init[ci]]) for ci in range(k)],
+        "cell int, cvec array<double>",
+    )
+    for _ in range(iterations):
+        scored = vecs.join(F.broadcast(cents), how="cross").select(
+            id_col,
+            "v",
+            "cell",
+            (_dot(F.col("v"), F.col("cvec")) / (F.col("nv") * _norm(F.col("cvec")))).alias("cos"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+        assigned = (
+            scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+        )
+        dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
+        new_vals = dims.groupBy("cell", "dim").agg(
+            F.round(F.avg("x"), 6).alias("val")
+        )
+        new_cents = new_vals.groupBy("cell").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("val")))
+            ).alias("pairs")
+        ).select(
+            "cell", F.expr("transform(pairs, p -> p.val)").alias("cvec")
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+        # 8 rows: truncate lineage so the next iteration's plan doesn't
+        # regrow (no driver collect — same pattern as connected components)
+        cents = cents.localCheckpoint(eager=True)
+    return cents.select(
+        "cell", F.posexplode("cvec").alias("dim", "val")
+    )

@@ -331,3 +331,28 @@ def test_corpus_curation_precedence(spark):
     assert out[2] == "exact_dup"  # dup of doc 1 wins over its bad lang
     assert out[3] == "quality"
     assert out[4] == "lang"
+
+
+def test_kmeans_centroids_match_numpy_lloyd(spark):
+    """Distributed Lloyd ≡ single-process numpy Lloyd with the same
+    per-iteration 6-dp rounding and empty-cell keep rule."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {(r["cell"], r["dim"]): r["val"] for r in sim.kmeans_centroids(e, iterations=3).collect()}
+
+    emb = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e.collect()}
+    V = np.array([emb[k] for k in sorted(emb)])
+    cents = np.round(sim.ivf_centroids().astype(np.float64), 6)
+    for _ in range(3):
+        vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        cos = vn @ cn.T
+        assign = np.argmax(cos, axis=1)  # first max = lowest cell, same tie rule
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = V[assign == c]
+            if len(members):
+                new[c] = np.round(members.mean(axis=0), 6)
+        cents = new
+    for c in range(len(cents)):
+        for d in range(cents.shape[1]):
+            assert abs(got[(c, d)] - cents[c, d]) < 2e-6, (c, d, got[(c, d)], cents[c, d])
