@@ -30,6 +30,7 @@ from entity_extractor_by_pointer_spark.functions.textstats import (
     bpe_ish_token_count,
     fingerprint64,
     hash_split,
+    winnow_fingerprint,
     lang_id,
     quality_score,
     tfidf_terms,
@@ -348,6 +349,13 @@ def q_doc_lang_id(spark, sf_dir):
 def q_doc_quality(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    """Rolling-window (winnowing-style min-gram-hash) fingerprint — the
+    rolling-hash member of the fingerprint family (vs the whole-doc md5)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", winnow_fingerprint(F.col("text")).alias("winnow_fp"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -851,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_quality": q_doc_quality,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
         "doc_splits": q_doc_splits,
         "top_terms_tfidf": q_top_terms_tfidf,
         "corpus_curation": q_corpus_curation,
@@ -1237,6 +1246,15 @@ def oracle_sql() -> dict[str, str]:
         # doc_lang_id / doc_quality are generated in _textstat_oracles()
         "doc_fingerprint": f"""
             SELECT doc_id, {_H64.format(x=_NORM_SQL)} AS fingerprint FROM documents
+        """,
+        "doc_winnow_fingerprint": f"""
+            WITH dn AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+            SELECT doc_id,
+                   list_min(list_transform(
+                       generate_series(1, greatest(length(t) - 7, 1), 4),
+                       i -> ('0x' || substr(md5(substring(t, i, 8)), 1, 15))::BIGINT
+                   )) AS winnow_fp
+            FROM dn
         """,
         "doc_splits": f"""
             SELECT CASE WHEN b < 80 THEN 'train'

@@ -127,3 +127,19 @@ def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id"):
     return stats.withColumn(
         "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6)
     )
+
+
+def winnow_fingerprint(col: Column, gram: int = 8, stride: int = 4) -> Column:
+    """Rolling-window document fingerprint: min hash over character
+    ``gram``-grams sampled every ``stride`` positions of the normalized text
+    (winnowing-style min-sampling — the rolling-hash fingerprint family, vs
+    ``fingerprint64``'s whole-document hash). Content-defined: equal texts
+    always collide; long shared runs collide with high probability. Pure
+    built-in expressions, mirrored verbatim in the DuckDB oracle."""
+    t = norm_text(col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(t) - F.lit(gram - 1), F.lit(1)), F.lit(stride)
+    )
+    return F.array_min(
+        F.transform(positions, lambda i: md5_int64(F.substring(t, i, gram)))
+    )

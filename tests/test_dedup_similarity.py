@@ -356,3 +356,22 @@ def test_kmeans_centroids_match_numpy_lloyd(spark):
     for c in range(len(cents)):
         for d in range(cents.shape[1]):
             assert abs(got[(c, d)] - cents[c, d]) < 2e-6, (c, d, got[(c, d)], cents[c, d])
+
+
+def test_winnow_fingerprint_content_defined(spark):
+    import pyspark.sql.functions as F
+
+    from entity_extractor_by_pointer_spark.functions.textstats import winnow_fingerprint
+
+    rows = [
+        (1, "Hello  World this is a TEST document"),
+        (2, "hello world this is a test document"),  # normalizes equal → same fp
+        (3, "a totally different text body here"),
+        (4, ""),
+        (5, "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["w"] for r in df.select("doc_id", winnow_fingerprint(F.col("text")).alias("w")).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[3]
+    assert fp[4] is not None and fp[5] is not None  # short docs don't crash
