@@ -45,9 +45,13 @@ HEADLINE = [
     "ann_topk_lsh",
     "ann_topk_ivf",
     "ivf_assign",
+    "ivf_kmeans_train",
     "train_grad_step",
     "doc_splits",
     "top_terms_tfidf",
+    "corpus_curation",
+    "doc_winnow_fingerprint",
+    "graph_pagerank",
     "multimodal_features",
     "doc_quality",
     "doc_lang_id",
