@@ -81,9 +81,10 @@ CANON_MAP = {
 JACCARD_THRESHOLD = 0.8
 # blocking-join document-frequency cap: shingles appearing in more than this
 # many docs are excluded from candidate generation (NOT from verification).
-# At production scale this is set as a fraction of corpus size; here it is
-# an absolute demo value comfortably above the worst true-pair min-df (10).
-JACCARD_DF_CAP = 16
+# Engaged ADAPTIVELY (dedup.resolve_jaccard_cap): exact blocking below
+# JACCARD_AUTO_DOCS rows, capped above. The demo cap sits comfortably above
+# the worst true-pair min-df (10) on the testdata family.
+JACCARD_DF_CAP = 16  # == dedup.JACCARD_AUTO_CAP
 # near-dup cosine: production threshold. The testdata embeddings contain no
 # true near-dups (max pairwise cosine ~0.6), so the near-dup query runs over
 # a DERIVED corpus: embeddings ∪ deterministically perturbed copies, whose
@@ -404,13 +405,15 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Capped blocking is the DEFAULT (stop-shingles with df > cap never
-    enter the candidate join, bounding fan-out to O(cap²) per shingle at
-    crawl scale). The oracle computes EXACT blocking, so this query's green
-    CORRECTNESS row is the proof that cap-blocking loses no pair ≥ threshold
-    on the testdata (worst true-pair min shared-shingle df is 10 at sf0.1)."""
+    """ADAPTIVE blocking: a cheap corpus census picks exact shingle blocking
+    for small corpora (the capped path's hot-census/bound-prune stages are
+    pure overhead there — the round-2 bench regression) and df-capped
+    blocking above ``JACCARD_AUTO_DOCS`` rows, where stop-shingles would
+    otherwise explode the candidate join O(df²). The oracle computes EXACT
+    blocking; capped ≡ exact on this corpus family is pytest-pinned
+    (tests/test_dedup_similarity.py) and was oracle-proven in round 2."""
     return dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df=JACCARD_DF_CAP
+        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df="auto"
     )
 
 
@@ -424,7 +427,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 def q_dedup_clusters_cc(spark, sf_dir):
     pairs = dd.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df=JACCARD_DF_CAP
+        _t(spark, sf_dir, "documents"), JACCARD_THRESHOLD, max_shingle_df="auto"
     )
     return connected_components(pairs, src="id_a", dst="id_b").withColumnRenamed(
         "id", "doc_id"
@@ -1021,7 +1024,16 @@ def _model_oracle_values_sql(model_type: str) -> str:
     sf = os.path.basename(os.environ.get("CHECK_SF_DIR", "sf0.01").rstrip("/")) or "sf0.01"
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "model_oracle_values.json")
     with open(path) as f:
-        spans = json.load(f)[sf][model_type]
+        baked = json.load(f)
+    if sf not in baked:
+        # an un-baked scale factor must not break oracle_sql() for the REST
+        # of the suite: emit a sentinel row (driver reports a mismatch for
+        # the two model queries only) instead of raising KeyError for all 50+
+        return (
+            f"SELECT -1 AS doc_id, 'unbaked-sf:{sf}' AS type, '' AS entity, "
+            "-1 AS start_idx, -1 AS end_idx"
+        )
+    spans = baked[sf][model_type]
     if not spans:
         return (
             "SELECT CAST(NULL AS INT) AS doc_id, '' AS type, '' AS entity, "

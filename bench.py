@@ -79,6 +79,9 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     for name in HEADLINE:
         best = None
         for _rep in range(2):  # best-of-2: the host shows 1.3-3x CPU steal
+            from entity_extractor_by_pointer_spark.cache import release_all
+
+            release_all()  # operators register persists in the cache module
             spark.catalog.clearCache()  # operators persist intermediates
             # (shingle tables, vector norms); don't let one query's cache
             # residue charge memory pressure to the next query's timing

@@ -59,9 +59,12 @@ class FGM:
                     param += (epsilon / norm) * grads[name]
 
     def restore(self, emb_name: str = "word_embeddings.") -> None:
+        # filter on the SAME predicate attack() used (matched name AND a grad
+        # entry existed): an embedding-named param with no grad never entered
+        # the backup, so restoring it would KeyError — the reference filters
+        # both sides identically via requires_grad (gan_utils.py:13,27)
         for name, param in self.params.items():
-            if emb_name in name:
-                assert name in self.backup
+            if emb_name in name and name in self.backup:
                 param[...] = self.backup[name]
         self.backup = {}
 
@@ -101,9 +104,9 @@ class PGD:
         return self.emb_backup[param_name] + r
 
     def restore(self, emb_name: str = "word_embeddings.") -> None:
+        # same symmetric filtering as FGM.restore (see comment there)
         for name, param in self.params.items():
-            if emb_name in name:
-                assert name in self.emb_backup
+            if emb_name in name and name in self.emb_backup:
                 param[...] = self.emb_backup[name]
         self.emb_backup = {}
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import cached
+
 
 def entity_degrees(triples: DataFrame) -> DataFrame:
     """(entity, out_deg, in_deg, degree) over DISTINCT (subj, obj) edges."""
@@ -49,13 +51,13 @@ def pagerank(
 
     rank₀ = 1/N; rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u).
     """
-    edges = triples.select("subj", "obj").distinct().persist()
+    edges = cached(triples.select("subj", "obj").distinct())
     nodes = (
         edges.select(F.col("subj").alias("entity"))
         .unionAll(edges.select(F.col("obj").alias("entity")))
         .distinct()
-        .persist()
     )
+    nodes = cached(nodes)
     n = nodes.count()
     out_deg = edges.groupBy(F.col("subj").alias("entity")).agg(
         F.count(F.lit(1)).alias("out_deg")

@@ -23,6 +23,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import cached
+
 ANN_DIM = 64
 LSH_PLANES = 6
 LSH_SEED = 20240816
@@ -219,7 +221,8 @@ def kmeans_centroids(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         _norm(F.col(vec_col).cast("array<double>")).alias("nv"),
-    ).persist()
+    )
+    vecs = cached(vecs)
     cents = spark.createDataFrame(
         [(ci, [round(float(x), 6) for x in init[ci]]) for ci in range(k)],
         "cell int, cvec array<double>",

@@ -51,21 +51,162 @@ class StageWriter:
             > 0
         )
 
-    def list_snapshots(self) -> list[str]:
-        """Committed increment snapshot ids in commit order.
+    def _seq_path(self, inc_id: str) -> str:
+        return os.path.join(self.workdir, "pages_inc", inc_id, "_commit_seq")
 
-        An increment is committed once its *pages* snapshot (written LAST by
-        ``run_incremental``) has a ``_SUCCESS`` marker; commit order is the
-        marker's mtime — the parquet stand-in for Iceberg's snapshot log."""
+    def _read_seq(self, inc_id: str) -> int | None:
+        try:
+            with open(self._seq_path(inc_id)) as f:
+                import json
+
+                return int(json.load(f)["seq"])
+        except (OSError, ValueError, KeyError):
+            return None
+
+    def assign_commit_seq(self, inc_id: str) -> int:
+        """Persist a monotonic commit sequence number for a committed
+        increment (idempotent). Filesystem mtime is NOT a reliable snapshot
+        order (two commits within mtime granularity, dir copies, clock skew
+        can swap it and silently change what ``read_stage(as_of=...)``
+        includes), so the writer stamps an explicit sequence at commit time —
+        the parquet analog of Iceberg's snapshot log ordinal."""
+        existing = self._read_seq(inc_id)
+        if existing is not None:
+            return existing
+        seqs = [
+            s
+            for s in (self._read_seq(d) for d in self._committed_dirs())
+            if s is not None
+        ]
+        seq = (max(seqs) + 1) if seqs else 1
+        import json
+
+        with open(self._seq_path(inc_id), "w") as f:
+            json.dump({"seq": seq, "committed_at": time.time()}, f)
+        return seq
+
+    def _committed_dirs(self) -> list[str]:
         root = os.path.join(self.workdir, "pages_inc")
         if not os.path.exists(root):
             return []
-        done = [
+        return [
             d
             for d in os.listdir(root)
             if os.path.exists(os.path.join(root, d, "_SUCCESS"))
         ]
-        return sorted(done, key=lambda d: os.path.getmtime(os.path.join(root, d, "_SUCCESS")))
+
+    def list_snapshots(self) -> list[str]:
+        """Committed increment snapshot ids in commit order.
+
+        An increment is committed once its *pages* snapshot (written LAST by
+        ``run_incremental``) has a ``_SUCCESS`` marker; order is the explicit
+        ``_commit_seq`` stamp. A committed dir missing its stamp (crash in
+        the tiny window between the pages write and the stamp) is healed
+        here: assigned the next sequence in mtime order — idempotent, and
+        strictly after every stamped snapshot, which matches true commit
+        order because the stamp is written immediately at commit."""
+        done = self._committed_dirs()
+        unstamped = [d for d in done if self._read_seq(d) is None]
+        if unstamped:
+            root = os.path.join(self.workdir, "pages_inc")
+            for d in sorted(
+                unstamped,
+                key=lambda d: os.path.getmtime(os.path.join(root, d, "_SUCCESS")),
+            ):
+                self.assign_commit_seq(d)
+        return sorted(done, key=lambda d: self._read_seq(d) or 0)
+
+    def expire_snapshots(
+        self,
+        keep_last: int,
+        stages: tuple[str, ...] = ("mentions", "triples", "pages"),
+    ) -> dict[str, list[str]]:
+        """Retention: compact all but the last ``keep_last`` committed
+        increments into each stage's base table, then delete their snapshot
+        dirs — plus any orphaned (un-committed) increment dirs. The Iceberg
+        ``expireSnapshots`` maintenance analog; run it from the single
+        writer, not concurrently with other writers.
+
+        Post-conditions (pytest-pinned): ``read_stage()`` and
+        ``read_stage(as_of=retained_id)`` return exactly the same rows as
+        before (expired data now lives in the base table, which every as_of
+        read includes); expired ids are no longer valid ``as_of`` targets;
+        orphaned dirs (no ``_SUCCESS``, or no pages commit) are removed."""
+        import shutil
+
+        snaps = self.list_snapshots()
+        expired = snaps[:-keep_last] if keep_last > 0 else list(snaps)
+        committed = set(snaps)
+        # 1) fold each expired committed increment into the stage base tables
+        #    (pages LAST: its dir is the commit marker, so a crash mid-expire
+        #    leaves the increment still visible and the retry re-folds it —
+        #    the base rewrite below is a full overwrite, not an append, so
+        #    re-folding is idempotent)
+        for stage in stages:
+            inc_root = os.path.join(self.workdir, f"{stage}_inc")
+            dirs = [
+                os.path.join(inc_root, d)
+                for d in expired
+                if os.path.isdir(os.path.join(inc_root, d))
+                and os.path.exists(os.path.join(inc_root, d, "_SUCCESS"))
+            ]
+            if not dirs:
+                continue
+            base = self._stage_path(stage)
+            df = self._read_root(base)
+            for p in dirs:
+                df = df.unionByName(self._read_root(base, p))
+            part_cols = self._detect_partition_cols(base)
+            tmp = base + ".compact_tmp"
+            writer = df.write.mode("overwrite")
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(tmp)
+            schema_json = df.schema.json()
+            shutil.rmtree(base)
+            os.rename(tmp, base)
+            with open(os.path.join(base, "_stage_schema.json"), "w") as f:
+                f.write(schema_json)
+            for p in dirs:
+                shutil.rmtree(p)
+        # 2) remove orphans: snapshot dirs that are not committed (their own
+        #    _SUCCESS missing, or the pages commit marker never landed)
+        orphans: list[str] = []
+        for stage in stages:
+            inc_root = os.path.join(self.workdir, f"{stage}_inc")
+            if not os.path.isdir(inc_root):
+                continue
+            for d in os.listdir(inc_root):
+                p = os.path.join(inc_root, d)
+                if not os.path.isdir(p):
+                    continue
+                if d not in committed or not os.path.exists(
+                    os.path.join(p, "_SUCCESS")
+                ):
+                    shutil.rmtree(p)
+                    orphans.append(f"{stage}_inc/{d}")
+        return {"expired": expired, "orphans_removed": orphans}
+
+    def _detect_partition_cols(self, base: str) -> list[str]:
+        """Partition columns of an existing stage dir (from `col=value`
+        subdir names) so compaction preserves the layout."""
+        for name in sorted(os.listdir(base)):
+            if "=" in name and os.path.isdir(os.path.join(base, name)):
+                return [name.split("=", 1)[0]]
+        return []
+
+    def _read_root(self, base: str, path: str | None = None):
+        """Read one parquet root with the stage's persisted schema."""
+        schema_path = os.path.join(base, "_stage_schema.json")
+        if os.path.exists(schema_path):
+            import json
+
+            from pyspark.sql.types import StructType
+
+            with open(schema_path) as f:
+                schema = StructType.fromJson(json.load(f))
+            return self.spark.read.schema(schema).parquet(path or base)
+        return self.spark.read.parquet(path or base)
 
     def read_stage(self, stage: str, as_of: str | None = None) -> DataFrame:
         """Base stage table ∪ committed increment snapshots (optionally

@@ -241,14 +241,27 @@ class KgPipeline:
 
         existing_urls = self.writer.read_stage("pages").select("url")
         fresh = new_pages.join(existing_urls, "url", "left_anti")
-        fresh_t = self._extract_checked(fresh).persist()
+        from pyspark.storagelevel import StorageLevel
+
+        fresh_t = self._extract_checked(fresh).persist(StorageLevel.MEMORY_AND_DISK)
         # deterministic increment id: order-insensitive xor of url hashes +
         # count — a single aggregate row, no driver-side url collection
+        # two independent order-insensitive folds: xor of one 60-bit url hash
+        # AND sum of a second (md5 hex 17-31). xor alone cancels across
+        # multisets (two equal-size fresh sets could collide and silently
+        # reuse an orphaned snapshot dir); a colliding set would now need to
+        # match both folds simultaneously
         sig = fresh_t.agg(
             F.count(F.lit(1)).alias("n"),
             F.expr(
                 "bit_xor(cast(conv(substring(md5(url), 1, 15), 16, 10) AS bigint))"
             ).alias("h"),
+            # decimal(38,0) accumulator: a bigint sum of 60-bit terms
+            # overflows under ANSI mode; 38 digits hold ~1e20 rows' worth
+            F.expr(
+                "cast(sum(cast(conv(substring(md5(url), 17, 15), 16, 10)"
+                " AS decimal(38,0))) % 1152921504606846976 AS bigint)"
+            ).alias("h2"),
         ).first()
         n_new = int(sig["n"])
         if n_new == 0:
@@ -260,7 +273,9 @@ class KgPipeline:
             # the pages crash-window test)
             all_triples = self.writer.read_stage("triples").drop("subj_bucket")
             return self.writer.write_stage("triple_counts", triple_counts(all_triples))
-        inc_id = f"inc_{(int(sig['h']) & ((1 << 60) - 1)):015x}_{n_new}"
+        h_xor = int(sig["h"]) & ((1 << 60) - 1)
+        h_sum = int(sig["h2"]) & ((1 << 60) - 1)
+        inc_id = f"inc_{h_xor:015x}_{h_sum:015x}_{n_new}"
 
         def _inc_path(stage: str) -> str:
             return os.path.join(self.writer.workdir, f"{stage}_inc", inc_id)
@@ -299,6 +314,9 @@ class KgPipeline:
 
         # COMMIT: pages last — only now does the anti-join see these urls
         fresh_t.write.mode("overwrite").parquet(_inc_path("pages"))
+        # stamp the snapshot-log ordinal (mtime is not a reliable order);
+        # a crash before the stamp is healed by list_snapshots in mtime order
+        self.writer.assign_commit_seq(inc_id)
         fresh_t.unpersist()
         if _fail_after == "pages":
             raise RuntimeError("injected failure after pages commit")

@@ -375,3 +375,33 @@ def test_winnow_fingerprint_content_defined(spark):
     assert fp[1] == fp[2]
     assert fp[1] != fp[3]
     assert fp[4] is not None and fp[5] is not None  # short docs don't crash
+
+
+def test_jaccard_auto_cap_plan_selection(spark):
+    """'auto' blocking: exact plan for small corpora (no hot-shingle
+    anti-join), capped plan above the census threshold — at both ends the
+    pair set matches exact blocking."""
+    import entity_extractor_by_pointer_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+        + [(10, "one two three four five"), (11, "one two three four five")],
+        "doc_id long, text string",
+    )
+    # census below threshold → exact (cap resolves to None)
+    assert dd.resolve_jaccard_cap(docs, auto_docs_threshold=100) is None
+    # census above threshold → capped
+    assert dd.resolve_jaccard_cap(docs, auto_docs_threshold=4) == dd.JACCARD_AUTO_CAP
+
+    exact_plan = dd.ngram_jaccard_pairs(
+        docs, 0.8, max_shingle_df="auto", auto_docs_threshold=100
+    )
+    assert "LeftAnti" not in exact_plan._jdf.queryExecution().executedPlan().toString()
+    capped_plan = dd.ngram_jaccard_pairs(
+        docs, 0.8, max_shingle_df="auto", auto_docs_threshold=4
+    )
+    assert "LeftAnti" in capped_plan._jdf.queryExecution().executedPlan().toString()
+    # both ends agree with explicit exact blocking
+    ref = sorted(tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.8).collect())
+    assert sorted(tuple(r) for r in exact_plan.collect()) == ref
+    assert sorted(tuple(r) for r in capped_plan.collect()) == ref

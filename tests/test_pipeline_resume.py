@@ -190,3 +190,95 @@ def test_pipeline_model_scorer_and_empty_triples_are_safe(spark, tmp_path):
     pipe2 = KgPipeline(spark, wd, "gp2", PipelineConfig(scorer="gp"))
     out2 = pipe2.run(generate_pages(spark, 120, partitions=4), resume=True)
     assert out2.count() == n
+
+
+def test_expire_snapshots_retention_and_orphans(spark, tmp_path):
+    """expire_snapshots compacts old increments into the base tables without
+    changing what readers see, keeps as_of working for retained ids, rejects
+    expired ids, and removes orphaned (uncommitted) snapshot dirs."""
+    import os
+
+    wd = str(tmp_path / "exp")
+    pipe = KgPipeline(spark, wd, "exp")
+    pipe.run(generate_pages(spark, 60, partitions=4))
+    for n in (80, 100, 120):  # three increments
+        pipe.run_incremental(generate_pages(spark, n, partitions=4))
+    snaps = pipe.writer.list_snapshots()
+    assert len(snaps) == 3
+    # explicit commit-seq stamps exist and define the order
+    assert [pipe.writer._read_seq(s) for s in snaps] == [1, 2, 3]
+
+    # plant an orphan: a snapshot dir with no _SUCCESS (simulated crash)
+    orphan = os.path.join(wd, "mentions_inc", "inc_dead_0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "w") as f:
+        f.write("junk")
+
+    before_latest = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    before_asof = sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("pages", as_of=snaps[1]).select("url").collect()
+    )
+    before_triples = sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("triples")
+        .select("subj", "pred", "obj", "url")
+        .collect()
+    )
+
+    res = pipe.writer.expire_snapshots(keep_last=2)
+    assert res["expired"] == [snaps[0]]
+    assert any("inc_dead_0" in o for o in res["orphans_removed"])
+    assert not os.path.exists(orphan)
+    # expired dir gone from every stage
+    for stage in ("pages", "mentions", "triples"):
+        assert not os.path.exists(os.path.join(wd, f"{stage}_inc", snaps[0]))
+
+    # reader-visible rows unchanged, for latest AND retained as_of
+    assert before_latest == sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    assert before_asof == sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("pages", as_of=snaps[1]).select("url").collect()
+    )
+    assert before_triples == sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("triples")
+        .select("subj", "pred", "obj", "url")
+        .collect()
+    )
+    assert pipe.writer.list_snapshots() == snaps[1:]
+    # expired ids are no longer valid time-travel targets
+    import pytest
+
+    with pytest.raises(ValueError):
+        pipe.writer.read_stage("pages", as_of=snaps[0])
+
+    # a later increment continues the sequence after expiry
+    pipe.run_incremental(generate_pages(spark, 130, partitions=4))
+    snaps2 = pipe.writer.list_snapshots()
+    assert snaps2[:2] == snaps[1:]
+    assert pipe.writer._read_seq(snaps2[-1]) == 4
+
+
+def test_commit_seq_heals_missing_stamp(spark, tmp_path):
+    """A crash between the pages write and the seq stamp leaves a committed
+    snapshot without _commit_seq; list_snapshots heals it (mtime order) and
+    later commits continue AFTER it."""
+    import os
+
+    wd = str(tmp_path / "heal")
+    pipe = KgPipeline(spark, wd, "heal")
+    pipe.run(generate_pages(spark, 40, partitions=2))
+    pipe.run_incremental(generate_pages(spark, 60, partitions=2))
+    (first,) = pipe.writer.list_snapshots()
+    os.remove(pipe.writer._seq_path(first))  # simulate the crash window
+    assert pipe.writer._read_seq(first) is None
+    assert pipe.writer.list_snapshots() == [first]  # healed
+    assert pipe.writer._read_seq(first) == 1
+    pipe.run_incremental(generate_pages(spark, 80, partitions=2))
+    snaps = pipe.writer.list_snapshots()
+    assert snaps[0] == first and pipe.writer._read_seq(snaps[1]) == 2

@@ -56,3 +56,34 @@ def test_gazetteer_spans_are_token_aligned_substrings(text):
     for etype, surface, s, e in gazetteer_spans(text, gaz):
         assert text[s : e + 1].lower() == surface.lower()
         assert etype in ("location", "organization")
+
+
+# needles that actually occur in the alphabet above + multi-token shapes +
+# a NUL-containing name to force the ambiguity fallback path
+_GAZ_FAST = [
+    ("中国", "location", "LOC_CN"),
+    ("广州", "location", "LOC_GZ"),
+    ("华为", "organization", "ORG_HW"),
+    ("abc", "person", "PER_ABC"),
+    ("abc 019", "person", "PER_ABC019"),
+    ("中", "location", "LOC_SINGLE"),
+    ("x\x00y", "person", "PER_NUL"),
+]
+
+TEXT_NUL = st.text(
+    alphabet=st.sampled_from(list("中国广州华为 abcXYZ019,.!?。\x00")), max_size=300
+)
+
+
+@given(TEXT_NUL, st.sampled_from([None, 6, 32]))
+@settings(max_examples=400, deadline=None)
+def test_gazetteer_fast_matcher_equals_reference_scan(text, max_tokens):
+    from entity_extractor_by_pointer_spark.functions.gazetteer import (
+        compile_gazetteer,
+        gazetteer_spans_fast,
+    )
+
+    compiled = compile_gazetteer(_GAZ_FAST)
+    assert gazetteer_spans_fast(text, compiled, _GAZ_FAST, max_tokens) == gazetteer_spans(
+        text, _GAZ_FAST, max_tokens
+    )
