@@ -146,6 +146,57 @@ def ivf_assign(
     return embeddings.select(F.col(id_col), best_cell_expr(v, centroids).alias("cell"))
 
 
+def top_cells_expr(v, centroids: np.ndarray, nprobe: int):
+    """Column: the ``nprobe`` nearest centroid indices by cosine, ordered
+    best-first (ties → lower cell, matching ``best_cell_expr`` and the
+    oracle's ``ORDER BY score DESC, cell ASC``). Scores are the same
+    ordered-fold doubles as ``best_cell_expr``, so nprobe=1 reduces to it."""
+    nv = _norm(v)
+    entries = F.array(
+        *[
+            F.struct(
+                (_dot(v, F.array(*[F.lit(float(x)) for x in c])) / nv).alias("score"),
+                F.lit(-ci).alias("negcell"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    # sort desc: score desc, then negcell desc ≡ cell asc on score ties
+    top = F.slice(F.sort_array(entries, asc=False), 1, nprobe)
+    return F.transform(top, lambda s: (-s["negcell"]).cast("int"))
+
+
+def materialize_ivf_corpus(
+    embeddings: DataFrame,
+    path: str,
+    centroids: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Write the IVF-indexed corpus ``(id, vector, cell)`` PARTITIONED BY
+    cell (the parquet stand-in for an Iceberg ``bucket``/identity transform)
+    and return a reader over it. This is the ``ivf_assign`` output the probe
+    path reads: probing then PRUNES whole cell partitions instead of
+    recomputing centroid scores over the corpus at query time. Idempotent:
+    an existing _SUCCESS marker short-circuits the write."""
+    import os
+
+    spark = embeddings.sparkSession
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        centroids = ivf_centroids() if centroids is None else centroids
+        v = F.col(vec_col).cast("array<double>")
+        (
+            embeddings.select(
+                F.col(id_col), v.alias(vec_col), best_cell_expr(v, centroids).alias("cell")
+            )
+            .repartition("cell")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
 def ann_topk_ivf(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -153,29 +204,39 @@ def ann_topk_ivf(
     centroids: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
-    """IVF probe (nprobe=1): each query scans ONLY its own coarse cell.
+    """IVF probe: each query scans only its ``nprobe`` nearest coarse cells.
 
-    Completes the IVF pair with ``ivf_assign``: at scale the corpus is
-    materialized partitioned by ``cell``, so this probe is a partition-pruned
-    scan joined with the broadcast query batch — no corpus shuffle. Exact
-    within the probed cell; recall across cells is the standard IVF
-    trade-off (raise nprobe by unioning neighbor cells)."""
+    Completes the IVF pair with ``ivf_assign``/``materialize_ivf_corpus``:
+    pass ``assigned`` (a corpus frame that already carries a ``cell`` column
+    — typically the cell-partitioned materialized table) and the probe is a
+    partition-prunable scan joined with the broadcast query batch — no
+    centroid math over the corpus, no corpus shuffle. Without ``assigned``
+    the cell is computed inline (fine for ad-hoc runs; materialize at
+    scale). Exact within the probed cells; recall across cells is the
+    standard IVF trade-off that ``nprobe`` trades back."""
     centroids = ivf_centroids() if centroids is None else centroids
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("vc"),
-    )
-    corpus = corpus.withColumn("cell", best_cell_expr(F.col("vc"), centroids)).withColumn(
-        "nc", _norm(F.col("vc"))
-    )
+    if assigned is not None:
+        corpus = assigned.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("vc"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    else:
+        corpus = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("vc"),
+        ).withColumn("cell", best_cell_expr(F.col("vc"), centroids))
+    corpus = corpus.withColumn("nc", _norm(F.col("vc")))
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     )
-    qs = qs.withColumn("cell", best_cell_expr(F.col("vq"), centroids)).withColumn(
-        "nq", _norm(F.col("vq"))
-    )
+    qs = qs.withColumn(
+        "cell", F.explode(top_cells_expr(F.col("vq"), centroids, nprobe))
+    ).withColumn("nq", _norm(F.col("vq")))
     joined = corpus.join(F.broadcast(qs), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )

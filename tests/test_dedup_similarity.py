@@ -405,3 +405,46 @@ def test_jaccard_auto_cap_plan_selection(spark):
     ref = sorted(tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.8).collect())
     assert sorted(tuple(r) for r in exact_plan.collect()) == ref
     assert sorted(tuple(r) for r in capped_plan.collect()) == ref
+
+
+def test_ann_topk_ivf_materialized_probe_and_nprobe(spark, tmp_path):
+    """The probe over a materialized cell-partitioned corpus (a) returns the
+    same rows as inline cell computation, (b) partition-prunes the corpus
+    scan (DPP on cell), and (c) nprobe=2's result set contains nprobe=1's
+    neighbors per query (recall is monotone in nprobe)."""
+    import numpy as np
+
+    import entity_extractor_by_pointer_spark.operators.similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = [(int(i), [float(x) for x in rng.normal(0, 1, sim.ANN_DIM)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.where("vec_id < 4")
+
+    mat = sim.materialize_ivf_corpus(df, str(tmp_path / "ivf"))
+    inline = sorted(tuple(r) for r in sim.ann_topk_ivf(df, qs, k=3).collect())
+    assigned = sorted(tuple(r) for r in sim.ann_topk_ivf(df, qs, k=3, assigned=mat).collect())
+    assert inline == assigned
+
+    probe2 = sim.ann_topk_ivf(df, qs, k=3, nprobe=2, assigned=mat)
+    plan = probe2._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan  # corpus scan pruned by cell
+    got2 = {(r.query_id, r.neighbor_id) for r in probe2.collect()}
+    # nprobe=2 candidates ⊇ nprobe=1 candidates → its top-3 cosine is ≥;
+    # verify per-query neighbor sets only grow toward the brute-force truth
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ann_topk_bruteforce(df, qs, k=3).collect()
+    }
+    got1 = {(r[0], r[1]) for r in assigned}
+    assert len(got2 & brute) >= len(got1 & brute)
+
+    # nprobe=1 via top_cells_expr == best_cell_expr (same argmax tie rule)
+    from pyspark.sql import functions as F
+
+    cents = sim.ivf_centroids()
+    both = df.select(
+        sim.best_cell_expr(F.col("embedding"), cents).alias("best"),
+        sim.top_cells_expr(F.col("embedding"), cents, 1)[0].alias("top1"),
+    )
+    assert both.where("best != top1").count() == 0
