@@ -36,6 +36,14 @@ class NerConfig:
     # head logit bias: shifts scores so a small, nonzero fraction of valid
     # cells clear the decode threshold (random weights alone are ~50/50)
     logit_bias: float = -4.0
+    # production plug point: 'seeded' = deterministic numpy stand-in (this
+    # sandbox); 'bert' = BertTokenizerFast + TorchBertEncoder, the reference's
+    # real tokenizer/encoder pair (engines/data.py:17, predict.py:36-44) —
+    # exercised by the skip-gated test in tests/test_production_encoder.py
+    # wherever torch/transformers are installed. hidden_size must then match
+    # the checkpoint (768 for bert-base-chinese).
+    encoder: str = "seeded"  # 'seeded' | 'bert'
+    hf_model_name: str = "bert-base-chinese"
 
     @property
     def num_labels(self) -> int:
@@ -47,16 +55,46 @@ class PointerNerModel:
 
     def __init__(self, config: NerConfig):
         self.config = config
-        self.tokenizer = CjkCharTokenizer(config.max_sequence_length)
-        self.encoder = SeededTinyEncoder(config.hidden_size, config.encoder_seed)
-        if config.model_type == "gp":
-            self.head = GlobalPointerHead(config.hidden_size, config.num_labels, config.head_seed)
+        if config.encoder == "bert":
+            # production pair: HF fast tokenizer + batched BERT forward
+            # (reference engines/data.py:17, predict.py:36-44); import-gated —
+            # load_torch_bert_encoder raises NotImplementedError without torch
+            from transformers import BertTokenizerFast
+
+            from .encoder import load_torch_bert_encoder
+
+            self.tokenizer = BertTokenizerFast.from_pretrained(config.hf_model_name)
+            self.encoder = load_torch_bert_encoder(config.hf_model_name)
         else:
-            self.head = BinaryPointerHead(config.hidden_size, config.num_labels, config.head_seed)
+            self.tokenizer = CjkCharTokenizer(config.max_sequence_length)
+            self.encoder = SeededTinyEncoder(config.hidden_size, config.encoder_seed)
+        hidden = self.encoder.hidden_size  # head width follows the encoder
+        if config.model_type == "gp":
+            self.head = GlobalPointerHead(hidden, config.num_labels, config.head_seed)
+        else:
+            self.head = BinaryPointerHead(hidden, config.num_labels, config.head_seed)
 
     def _encode_batch(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray, list]:
         L = self.config.max_sequence_length
         ids, masks, offsets = [], [], []
+        if self.config.encoder == "bert":
+            # the reference's two tokenizer calls verbatim: UNtruncated ids
+            # right-padded/hard-truncated to L (data.py:41-44,24-29) + the
+            # truncation=True offset mapping decode reads (data.py:88-90)
+            from .tokenizer import pad_or_truncate
+
+            for text in texts:
+                enc = self.tokenizer(text)
+                ids.append(pad_or_truncate(enc["input_ids"], L))
+                masks.append(pad_or_truncate(enc["attention_mask"], L))
+                off = self.tokenizer(
+                    text,
+                    return_offsets_mapping=True,
+                    max_length=L,
+                    truncation=True,
+                )["offset_mapping"]
+                offsets.append([tuple(o) for o in off])
+            return np.asarray(ids, dtype=np.int32), np.asarray(masks, dtype=np.int32), offsets
         for text in texts:
             i, m, off = encode_for_inference(text, L)  # single tokenize pass
             ids.append(i)
@@ -148,6 +186,8 @@ class _ModelCache:
             config.encoder_seed,
             config.head_seed,
             config.logit_bias,
+            config.encoder,
+            config.hf_model_name,
         )
         if key not in self.cache:
             self.cache[key] = PointerNerModel(config)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.gazetteer import PAGES_GAZETTEER, gazetteer_spans
+from ..functions.gazetteer import PAGES_GAZETTEER, compile_gazetteer, gazetteer_spans_fast
 from ..sources.pages import PAGES_SCHEMA
 
 STREAM_MENTIONS_SCHEMA = T.StructType(
@@ -36,10 +36,13 @@ STREAM_MENTIONS_SCHEMA = T.StructType(
 
 def _mention_stage(df: DataFrame, gazetteer, max_tokens: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = compile_gazetteer(gazetteer)
         for pdf in batches:
             rows = []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                for etype, surface, _s, _e in gazetteer_spans(text or "", gazetteer, max_tokens):
+                for etype, surface, _s, _e in gazetteer_spans_fast(
+                    text or "", compiled, gazetteer, max_tokens
+                ):
                     rows.append((url, ts, etype, surface))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "type", "entity"])
 
@@ -102,6 +105,43 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_append(
+    spark: SparkSession,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 1,
+    **kwargs,
+):
+    """Append-mode production sink: watermarked windowed counts land in a
+    parquet FILE sink (the unbounded-sink choice — a window row is written
+    exactly once, when the watermark passes its end, and late rows beyond
+    the watermark are DROPPED, never retro-counted).
+
+    Contrast with ``run_stream_once``'s complete-mode memory sink (the
+    drain-and-stop batch-parity harness). Resumable: re-invoking with the
+    same checkpoint continues the watermark/state from where the last drain
+    stopped. NOTE (measured on this Spark): the watermark advances with a
+    one-micro-batch delay WITHIN an availableNow drain, so a late row is
+    only guaranteed dropped once the watermark covering it has been
+    committed by an earlier batch — across drain boundaries it always has
+    (the checkpoint carries it); the cross-drain drop is pinned in
+    tests/test_streaming.py. Returns the finished query (for progress
+    inspection, e.g. numRowsDroppedByWatermark)."""
+    stream = read_pages_stream(spark, pages_dir, max_files_per_trigger)
+    counts = windowed_type_counts(stream, **kwargs)
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 def run_triples_stream_once(

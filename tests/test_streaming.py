@@ -179,3 +179,69 @@ def test_stateful_dedup_ttl_handler_semantics():
     st4 = FakeState()
     assert len(list(fn0((5,), iter(batch), st4))) == 1
     assert st4.timeout_set is None
+
+
+def test_append_mode_watermark_drops_late_page(spark, tmp_path):
+    """Append-mode file sink across three drains on one checkpoint: a window
+    row is emitted exactly once when the watermark passes its end, and a
+    late page arriving after that is provably DROPPED (its mention never
+    counted) while an on-time page in the same file is counted."""
+    import datetime as dt
+    import time
+
+    from entity_extractor_by_pointer_spark.streaming.stream import run_stream_append
+
+    pages_dir = str(tmp_path / "ap_pages")
+    ckpt = str(tmp_path / "ap_ckpt")
+    out = str(tmp_path / "ap_out")
+
+    def page(url, hour, minute, text):
+        ts = dt.datetime(2024, 3, 1, hour, minute)
+        return (url, ts, text.encode("utf-8"), text, "zh")
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary,"
+                              " text string, lang string").coalesce(1).write.mode(
+            "append"
+        ).parquet(pages_dir)
+        time.sleep(1.05)  # distinct mtimes → deterministic per-file batches
+
+    # drain 1: two mentions of 北京 in window [10:00, 11:00)
+    write_file([page("u1", 10, 0, "北京新闻"), page("u2", 10, 20, "去北京")])
+    run_stream_append(spark, pages_dir, ckpt, out)  # watermark ≈ 09:50 → no emit
+    # window still open → only empty part files committed so far
+    assert spark.read.parquet(out).count() == 0
+
+    # drain 2: on-time rows at 13:00 advance the committed watermark to
+    # 12:30, past the end of window [10:00, 11:00)
+    write_file([page("u3", 13, 0, "上海报道")])
+    run_stream_append(spark, pages_dir, ckpt, out)
+
+    # drain 3 (checkpoint resume): a LATE 北京 page at 10:15 — beyond the
+    # committed watermark → provably DROPPED — alongside an on-time 上海
+    # page at 13:05 in the same file, which must be counted
+    write_file([page("u4", 10, 15, "北京快讯"), page("u5", 13, 5, "上海新闻")])
+    q = run_stream_append(spark, pages_dir, ckpt, out)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+    assert dropped == 1  # exactly the late page's mention
+
+    emitted = {
+        (r["window_start"].hour, r["type"]): r["n_mentions"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 window closed with ONLY the two on-time pages; u4 absent
+    assert emitted == {(10, "location"): 2}
+
+    # drain 4: 16:00 rows close window [13:00, 14:00); its count includes
+    # both on-time 13:xx pages and still excludes u4
+    write_file([page("u6", 16, 0, "广州消息")])
+    run_stream_append(spark, pages_dir, ckpt, out)
+    emitted = {
+        (r["window_start"].hour, r["type"]): r["n_mentions"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert emitted == {(10, "location"): 2, (13, "location"): 2}
