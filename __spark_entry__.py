@@ -498,8 +498,16 @@ def _ivf_corpus(spark, sf_dir):
     scores over the corpus at query time."""
     import tempfile
 
+    # cache key includes a source fingerprint (sizes+mtimes of the parquet
+    # files) so a regenerated testdata dir never serves a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stamp = 0
+    if os.path.isdir(src):
+        for f in os.listdir(src):
+            st = os.stat(os.path.join(src, f))
+            stamp = (stamp * 1_000_003 + st.st_size + int(st.st_mtime)) % (1 << 60)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"eeps_ivf_corpus_{tag}")
+    path = os.path.join(tempfile.gettempdir(), f"eeps_ivf_corpus_{tag}_{stamp:x}")
     return sim.materialize_ivf_corpus(_t(spark, sf_dir, "embeddings"), path)
 
 
