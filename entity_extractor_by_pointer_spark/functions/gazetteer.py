@@ -135,6 +135,100 @@ def gazetteer_spans_fast(
     return out
 
 
+# dictionaries above this size get the Aho-Corasick automaton (one pass per
+# doc regardless of dictionary size); small ones keep the per-needle C-find,
+# which benches faster below a few dozen names (no automaton dispatch cost)
+AC_THRESHOLD = 32
+
+
+def make_matcher(gazetteer: list[tuple[str, str, str]]):
+    """Matcher factory: ``f(text, max_tokens=None) -> spans``. Picks the
+    per-needle C-find for small gazetteers and the Aho-Corasick token
+    automaton above ``AC_THRESHOLD`` names. Build ONCE per executor task
+    (outside the per-doc loop); all paths emit identical spans (pytest)."""
+    if len(gazetteer) > AC_THRESHOLD:
+        return TokenAhoCorasick(gazetteer).spans
+    compiled = compile_gazetteer(gazetteer)
+
+    def match(text: str, max_tokens: int | None = None):
+        return gazetteer_spans_fast(text, compiled, gazetteer, max_tokens)
+
+    return match
+
+
+class TokenAhoCorasick:
+    """Aho-Corasick automaton over TOKEN sequences — the large-dictionary
+    scale path. One pass over a doc's tokens finds every gazetteer match in
+    O(n_tokens + n_matches), independent of dictionary size; the automaton
+    is built once per executor worker from the broadcast gazetteer (the
+    north rule's salted-broadcast linking dim is exactly this shape: ~10⁶
+    alias surfaces × 10¹² docs means per-needle scans are off the table).
+
+    Emits matches in the same order as :func:`gazetteer_spans` (gazetteer-
+    major, position-minor) so all three matchers are interchangeable —
+    equivalence is pytest-pinned on randomized dictionaries."""
+
+    def __init__(self, gazetteer: list[tuple[str, str, str]]):
+        # trie over token tuples; each node: dict token -> node id
+        self.next: list[dict[str, int]] = [{}]
+        self.out: list[list[tuple[int, int]]] = [[]]  # (gaz_index, n_tokens)
+        self.fail: list[int] = [0]
+        self.gazetteer = gazetteer
+        for gi, (name, _etype, _eid) in enumerate(gazetteer):
+            toks = [t for t, _, _ in basic_tokenize(name)]
+            if not toks:
+                continue
+            node = 0
+            for tok in toks:
+                nxt = self.next[node].get(tok)
+                if nxt is None:
+                    nxt = len(self.next)
+                    self.next[node][tok] = nxt
+                    self.next.append({})
+                    self.out.append([])
+                    self.fail.append(0)
+                node = nxt
+            self.out[node].append((gi, len(toks)))
+        # BFS failure links (standard construction)
+        from collections import deque
+
+        q = deque()
+        for child in self.next[0].values():
+            q.append(child)
+        while q:
+            node = q.popleft()
+            for tok, child in self.next[node].items():
+                q.append(child)
+                f = self.fail[node]
+                while f and tok not in self.next[f]:
+                    f = self.fail[f]
+                self.fail[child] = self.next[f].get(tok, 0) if self.next[f].get(tok, 0) != child else 0
+                self.out[child] = self.out[child] + self.out[self.fail[child]]
+
+    def spans(
+        self, text: str, max_tokens: int | None = None
+    ) -> list[tuple[str, str, int, int]]:
+        toks = basic_tokenize(text)
+        if max_tokens is not None:
+            toks = toks[: max_tokens - 2]
+        node = 0
+        hits: list[tuple[int, int, int]] = []  # (gaz_index, tok_start, tok_end)
+        nxt, fail, out = self.next, self.fail, self.out
+        for i, (tok, _s, _e) in enumerate(toks):
+            while node and tok not in nxt[node]:
+                node = fail[node]
+            node = nxt[node].get(tok, 0)
+            for gi, k in out[node]:
+                hits.append((gi, i - k + 1, i))
+        hits.sort()  # gazetteer-major, position-minor — reference order
+        res: list[tuple[str, str, int, int]] = []
+        for gi, ti, tj in hits:
+            s = toks[ti][1]
+            e = toks[tj][2] - 1  # end-inclusive
+            res.append((self.gazetteer[gi][1], text[s : e + 1], s, e))
+        return res
+
+
 def gazetteer_spans(
     text: str,
     gazetteer: list[tuple[str, str, str]],

@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..functions.gazetteer import compile_gazetteer, gazetteer_spans_fast
+from ..functions.gazetteer import make_matcher
 from ..functions.model import MODEL_CACHE, NerConfig
 
 MENTIONS_SCHEMA = T.StructType(
@@ -90,13 +90,11 @@ def detect_mentions_gazetteer(
     cols = [id_col] + _COLS[1:]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        compiled = compile_gazetteer(gazetteer)  # once per task, not per doc
+        match = make_matcher(gazetteer)  # built once per task, not per doc
         for pdf in batches:
             rows = []
             for rid, text in zip(pdf[id_col], pdf[text_col].fillna("")):
-                for etype, surface, s, e in gazetteer_spans_fast(
-                    text, compiled, gazetteer, max_tokens
-                ):
+                for etype, surface, s, e in match(text, max_tokens):
                     rows.append((rid, etype, surface, s, e, 1.0, "gazetteer"))
             yield pd.DataFrame(rows, columns=cols)
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.gazetteer import PAGES_GAZETTEER, compile_gazetteer, gazetteer_spans_fast
+from ..functions.gazetteer import PAGES_GAZETTEER, make_matcher
 from ..sources.pages import PAGES_SCHEMA
 
 STREAM_MENTIONS_SCHEMA = T.StructType(
@@ -36,13 +36,11 @@ STREAM_MENTIONS_SCHEMA = T.StructType(
 
 def _mention_stage(df: DataFrame, gazetteer, max_tokens: int) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        compiled = compile_gazetteer(gazetteer)
+        match = make_matcher(gazetteer)
         for pdf in batches:
             rows = []
             for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                for etype, surface, _s, _e in gazetteer_spans_fast(
-                    text or "", compiled, gazetteer, max_tokens
-                ):
+                for etype, surface, _s, _e in match(text or "", max_tokens):
                     rows.append((url, ts, etype, surface))
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "type", "entity"])
 

@@ -87,3 +87,49 @@ def test_gazetteer_fast_matcher_equals_reference_scan(text, max_tokens):
     assert gazetteer_spans_fast(text, compiled, _GAZ_FAST, max_tokens) == gazetteer_spans(
         text, _GAZ_FAST, max_tokens
     )
+
+
+@given(TEXT_NUL, st.sampled_from([None, 6, 32]))
+@settings(max_examples=300, deadline=None)
+def test_aho_corasick_equals_reference_scan(text, max_tokens):
+    from entity_extractor_by_pointer_spark.functions.gazetteer import TokenAhoCorasick
+
+    gaz = [(n, t, e) for (n, t, e) in _GAZ_FAST if "\x00" not in n]
+    ac = TokenAhoCorasick(gaz)
+    assert ac.spans(text, max_tokens) == gazetteer_spans(text, gaz, max_tokens)
+
+
+def test_aho_corasick_large_dictionary_and_dispatch():
+    """A 500-name dictionary (shared prefixes/suffixes, nested names, CJK +
+    ASCII, multi-token) matches the reference scan exactly; make_matcher
+    dispatches to the automaton above AC_THRESHOLD and the C-find below."""
+    import random
+
+    from entity_extractor_by_pointer_spark.functions.gazetteer import (
+        AC_THRESHOLD,
+        TokenAhoCorasick,
+        make_matcher,
+    )
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "中", "国", "北", "京", "x1", "y2"]
+    gaz = []
+    seen = set()
+    while len(gaz) < 500:
+        name = " ".join(rng.choices(vocab, k=rng.randint(1, 4)))
+        if name not in seen:
+            seen.add(name)
+            gaz.append((name, rng.choice(["person", "location"]), f"E{len(gaz)}"))
+    texts = [
+        " ".join(rng.choices(vocab, k=rng.randint(0, 60))) for _ in range(50)
+    ] + ["中国北京 alpha beta gamma x1", ""]
+    ac = TokenAhoCorasick(gaz)
+    for text in texts:
+        assert ac.spans(text, 64) == gazetteer_spans(text, gaz, 64)
+        assert ac.spans(text) == gazetteer_spans(text, gaz)
+
+    big = make_matcher(gaz)
+    small = make_matcher(gaz[: AC_THRESHOLD // 2])
+    t = texts[-2]
+    assert big(t, None) == gazetteer_spans(t, gaz, None)
+    assert small(t, None) == gazetteer_spans(t, gaz[: AC_THRESHOLD // 2], None)
