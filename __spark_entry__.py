@@ -257,6 +257,23 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_entity_pmi_edges(spark, sf_dir):
+    """PMI edge weights over the canonical co-occurrence graph — the scoring
+    a triple count can't give (frequent entities co-occur by chance; PMI
+    normalizes by both marginals). Doc-keyed self-join (bounded per-doc
+    fan-out), broadcast df/N dims."""
+    from entity_extractor_by_pointer_spark.operators.graph import entity_pmi_edges
+
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, [(n, e) for n, _t2, e in DOCS_GAZETTEER])
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    edges = spark.createDataFrame(
+        [("ORG_VECTOR", "ORG_SPARK"), ("LOC_STREAM", "LOC_WINDOW")], "src string, dst string"
+    )
+    canon = canonicalize_entities(linked, edges)
+    return entity_pmi_edges(canon)
+
+
 def q_top_entities_per_type(spark, sf_dir):
     m = mention_sets(_doc_mentions(spark, sf_dir).withColumnRenamed("doc_id", "url"))
     freq = m.groupBy("type", "entity").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -407,6 +424,16 @@ def q_corpus_curation(spark, sf_dir):
         keep_langs=CURATE_LANGS,
         quality_floor=CURATE_QUALITY_FLOOR,
     )
+
+
+def q_doc_boilerplate(spark, sf_dir):
+    """Repeated-passage (boilerplate) census per document: distinct shingle
+    count, count with corpus df ≥ 4, and their ratio — the C4/RefinedWeb
+    boilerplate-removal signal. One shingle scan feeds census + per-doc
+    counts; the hot set is broadcast."""
+    from entity_extractor_by_pointer_spark.operators.curation import boilerplate_stats
+
+    return boilerplate_stats(_t(spark, sf_dir, "documents"), min_df=4)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -921,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_users": q_sketch_distinct_users,
         "sketch_value_quantiles": q_sketch_value_quantiles,
         "ann_topk_ivf_nprobe2": q_ann_topk_ivf_nprobe2,
+        "entity_pmi_edges": q_entity_pmi_edges,
+        "doc_boilerplate": q_doc_boilerplate,
         # training-data pipeline
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -952,9 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_rank": q_window_rank,
         "q5_local_supplier": q5_local_supplier,
         "rollup_events": q_rollup_events,
+        # ---- tail: family variants, driver-green in r1/r2 (see docstring)
         "pivot_events": q_pivot_events,
         "events_sessions": q_events_sessions,
-        # ---- tail: family variants, driver-green in r1/r2 (see docstring)
         "window_moving_avg": q_window_moving_avg,
         "doc_len_stats": q_doc_len_stats,
         "sort_topk": q_sort_topk,
@@ -1268,6 +1297,49 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN outd USING (entity) LEFT JOIN ind USING (entity)
         """,
         "graph_pagerank": _pagerank_unrolled_sql(mentions_cte, canon, pred_case),
+        "entity_pmi_edges": f"""
+            WITH {mentions_cte.strip()},
+            cm AS (
+                SELECT DISTINCT m.doc_id, canon.canon_id
+                FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_corpus FROM cm),
+            dfe AS (SELECT canon_id, count(*) AS df FROM cm GROUP BY 1),
+            pairs AS (
+                SELECT a.canon_id AS entity_a, b.canon_id AS entity_b,
+                       count(*) AS co_docs
+                FROM cm a JOIN cm b
+                  ON a.doc_id = b.doc_id AND a.canon_id < b.canon_id
+                GROUP BY 1, 2
+            )
+            SELECT entity_a, entity_b, co_docs,
+                   round(ln((co_docs * n_corpus) / (da.df * db.df)), 6) AS pmi
+            FROM pairs
+            CROSS JOIN n
+            JOIN dfe da ON da.canon_id = entity_a
+            JOIN dfe db ON db.canon_id = entity_b
+        """,
+        "doc_boilerplate": f"""
+            WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM dn),
+            hot AS (
+                SELECT shingle FROM (
+                    SELECT shingle, count(*) AS df FROM sh GROUP BY 1
+                ) WHERE df >= 4
+            ),
+            pd AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+            bo AS (
+                SELECT doc_id, count(*) AS n_boiler
+                FROM sh SEMI JOIN hot USING (shingle) GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   coalesce(n_shingles, 0)::INT AS n_shingles,
+                   coalesce(n_boiler, 0)::INT AS n_boiler,
+                   CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0.0
+                        ELSE round(coalesce(n_boiler, 0) / n_shingles, 6)
+                   END AS boiler_ratio
+            FROM documents d LEFT JOIN pd USING (doc_id) LEFT JOIN bo USING (doc_id)
+        """,
         "span_eval_f1": f"""
             WITH {mentions_cte.strip()},
             pred AS (

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import cached
 from ..functions.textstats import fingerprint64, quality_score
 
 DEFAULT_KEEP_LANGS = ("en", "de", "fr", "es", "zh")
@@ -55,4 +56,64 @@ def curate_corpus(
     return (
         scored.join(with_keep, id_col)
         .select(F.col(id_col), verdict.alias("verdict"))
+    )
+
+
+BOILERPLATE_MIN_DF = 4
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    min_df: int = BOILERPLATE_MIN_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate census: how much of each doc is made of
+    passages repeated across the corpus (the repeated-passage signal behind
+    C4/RefinedWeb-style boilerplate removal — nav bars, cookie banners,
+    license footers all surface as high-df shingles).
+
+    Returns (doc_id, n_shingles, n_boiler, boiler_ratio) where ``n_boiler``
+    counts the doc's distinct word-3-gram shingles whose corpus document
+    frequency is ≥ ``min_df`` and ``boiler_ratio = n_boiler/n_shingles``
+    (0.0 for shingle-less short docs).
+
+    Scale shape: ONE shingle scan feeds both the corpus df census (map-side
+    combined groupBy) and the per-doc counts; the hot-shingle set (df ≥
+    min_df is by construction ≤ corpus_shingles/min_df distinct values, and
+    real boilerplate thresholds keep it tiny relative to the corpus) is
+    broadcast into a left-semi join, so no row of doc text is ever
+    shuffled. At 100 TB the census shuffle carries one row per (shingle,
+    partition) — the same cost the Jaccard blocking census already pays —
+    and the hot set for a crawl-scale min_df (thousands of repeats) stays
+    broadcastable; if a pathological threshold made it large, the semi join
+    degrades gracefully to a shuffle join."""
+    from .dedup import shingle_df
+
+    sh = cached(shingle_df(docs, id_col, text_col))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    boiler = (
+        sh.join(F.broadcast(hot), "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(boiler, id_col, "left")
+        .fillna(0, subset=["n_shingles", "n_boiler"])
+        .select(
+            id_col,
+            F.col("n_shingles").cast("int").alias("n_shingles"),
+            F.col("n_boiler").cast("int").alias("n_boiler"),
+            F.when(F.col("n_shingles") == 0, F.lit(0.0))
+            .otherwise(F.round(F.col("n_boiler") / F.col("n_shingles"), 6))
+            .alias("boiler_ratio"),
+        )
     )

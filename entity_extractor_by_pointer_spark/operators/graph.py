@@ -86,3 +86,57 @@ def pagerank(
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("entity", F.round("rank", 6).alias("rank"))
+
+
+def entity_pmi_edges(
+    canon_mentions: DataFrame,
+    id_col: str = "doc_id",
+    entity_col: str = "canon_id",
+) -> DataFrame:
+    """Pointwise-mutual-information edge weights for the co-occurrence KG:
+    (entity_a, entity_b, co_docs, pmi) for every unordered canonical-entity
+    pair that co-occurs in at least one document, with
+
+        pmi = ln( co_docs · N / (df_a · df_b) ),  rounded to 6 dp,
+
+    N = #docs carrying ≥1 canonical mention. PMI is the standard weighting
+    that separates genuinely associated entity pairs from pairs that merely
+    co-occur because both are frequent — the edge score a raw ``n_docs``
+    triple count (``triple_counts``) cannot provide.
+
+    Scale shape: the per-doc entity sets are bounded (a page mentions a
+    handful of canonical entities), so the doc-keyed self-join fans out
+    O(k²) per doc, not O(n²) over the corpus; the df table has one row per
+    canonical ENTITY (millions at most) and is broadcast; N rides the same
+    broadcast as a 1-row aggregate. Nothing in the plan scales worse than
+    the mention table itself."""
+    cm = cached(canon_mentions.select(id_col, entity_col).distinct())
+    n_corpus = cm.select(F.countDistinct(id_col).alias("n_corpus"))
+    dfe = cm.groupBy(entity_col).agg(F.count(F.lit(1)).alias("df"))
+    a = cm.select(F.col(id_col).alias("_d"), F.col(entity_col).alias("entity_a"))
+    b = cm.select(F.col(id_col).alias("_d"), F.col(entity_col).alias("entity_b"))
+    pairs = (
+        a.join(b, "_d")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("co_docs"))
+    )
+    df_a = dfe.select(F.col(entity_col).alias("entity_a"), F.col("df").alias("df_a"))
+    df_b = dfe.select(F.col(entity_col).alias("entity_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(df_a), "entity_a")
+        .join(F.broadcast(df_b), "entity_b")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "entity_a",
+            "entity_b",
+            "co_docs",
+            F.round(
+                F.log(
+                    (F.col("co_docs") * F.col("n_corpus"))
+                    / (F.col("df_a") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -448,3 +448,29 @@ def test_ann_topk_ivf_materialized_probe_and_nprobe(spark, tmp_path):
         sim.top_cells_expr(F.col("embedding"), cents, 1)[0].alias("top1"),
     )
     assert both.where("best != top1").count() == 0
+
+
+def test_boilerplate_stats_hand_computed(spark):
+    """3-word shingles; 'the same footer' appears in docs 1-3 (df=3 ≥
+    min_df=2 with the unique middles below it), doc 4 shares nothing,
+    doc 5 is too short for any shingle."""
+    from entity_extractor_by_pointer_spark.operators.curation import boilerplate_stats
+
+    rows = [
+        (1, "alpha beta the same footer"),
+        (2, "gamma delta the same footer"),
+        (3, "the same footer"),
+        (4, "one two three four"),
+        (5, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_ratio"])
+        for r in boilerplate_stats(docs, min_df=2).collect()
+    }
+    # doc 1: shingles {alpha beta the, beta the same, the same footer} → 1 hot
+    assert got[1] == (3, 1, round(1 / 3, 6))
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (1, 1, 1.0)
+    assert got[4] == (2, 0, 0.0)
+    assert got[5] == (0, 0, 0.0)  # shingle-less doc still gets a row

@@ -46,3 +46,30 @@ def test_pagerank_dangling_node_keeps_base_mass(spark):
     # b has no out-edges (dangling, absorbing variant): contributes nothing
     assert got["a"] == round((1 - 0.85) / 2, 6)
     assert got["b"] > got["a"]
+
+
+def test_entity_pmi_edges_hand_computed(spark):
+    """4 docs: (x,y) together twice, (x,z) once, z alone once.
+    N=4, df(x)=3, df(y)=2, df(z)=2, co(x,y)=2, co(x,z)=1."""
+    import math
+
+    from entity_extractor_by_pointer_spark.operators.graph import entity_pmi_edges
+
+    rows = [
+        (1, "x"), (1, "y"),
+        (2, "x"), (2, "y"),
+        (3, "x"), (3, "z"),
+        (4, "z"),
+        (2, "x"),  # duplicate mention in one doc → counted once
+    ]
+    cm = spark.createDataFrame(rows, "doc_id long, canon_id string")
+    got = {
+        (r["entity_a"], r["entity_b"]): (r["co_docs"], r["pmi"])
+        for r in entity_pmi_edges(cm).collect()
+    }
+    assert got == {
+        ("x", "y"): (2, round(math.log(2 * 4 / (3 * 2)), 6)),
+        ("x", "z"): (1, round(math.log(1 * 4 / (3 * 2)), 6)),
+    }
+    # (x,y) genuinely associated (pmi > 0); (x,z) below-chance (pmi < 0)
+    assert got[("x", "y")][1] > 0 > got[("x", "z")][1]
