@@ -289,15 +289,29 @@ def kmeans_centroids(
         "cell int, cvec array<double>",
     )
     for _ in range(iterations):
-        scored = vecs.join(F.broadcast(cents), how="cross").select(
+        # centroid norms once per centroid (k rows), not once per
+        # (vector, centroid) pair — halves the interpreted fold work of the
+        # assignment stage
+        cents_n = cents.withColumn("cnorm", _norm(F.col("cvec")))
+        scored = vecs.join(F.broadcast(cents_n), how="cross").select(
             id_col,
             "v",
             "cell",
-            (_dot(F.col("v"), F.col("cvec")) / (F.col("nv") * _norm(F.col("cvec")))).alias("cos"),
+            (_dot(F.col("v"), F.col("cvec")) / (F.col("nv") * F.col("cnorm"))).alias("cos"),
         )
-        w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.asc("cell"))
+        # argmax via struct-max: lexicographic (cos DESC, cell ASC) — same
+        # winner as the row_number formulation, but a map-side-combinable
+        # hash aggregate instead of a sort shuffle of n·k rows; (cos, -cell)
+        # is unique per vector (cells are distinct), so the trailing v field
+        # never participates in the comparison
         assigned = (
-            scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+            scored.groupBy(id_col)
+            .agg(
+                F.max(
+                    F.struct(F.col("cos"), (-F.col("cell")).alias("nc"), F.col("cell"), F.col("v"))
+                ).alias("m")
+            )
+            .select(F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))
         )
         dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
         new_vals = dims.groupBy("cell", "dim").agg(
