@@ -63,3 +63,32 @@ def test_neardup_cosine_plan_has_no_cartesian(spark):
     plan = _plan(E.q_neardup_embedding_cosine(spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_signature_subtree_cached(spark):
+    """The 60-aggregate signature stage must come from ONE InMemoryRelation
+    feeding both sides of the pigeonhole block join (uncached it recomputes
+    up to 8x)."""
+    plan = _plan(E.q_dedup_simhash(spark, SF))
+    assert "InMemoryTableScan" in plan, plan
+    from entity_extractor_by_pointer_spark.cache import release_all
+
+    release_all()
+
+
+def test_minhash_signatures_and_candidates_cached(spark):
+    plan = _plan(E.q_dedup_minhash_lsh(spark, SF))
+    assert plan.count("InMemoryRelation") >= 2, plan  # shingles + signatures
+    from entity_extractor_by_pointer_spark.cache import release_all
+
+    release_all()
+
+
+def test_kmeans_assignment_is_aggregate_not_window(spark):
+    """Lloyd assignment must be the map-side-combinable struct-max hash
+    aggregate, not a row_number sort window over n*k scored rows."""
+    plan = _plan(E.q_ivf_kmeans_train(spark, SF))
+    assert "Window" not in plan, plan
+    from entity_extractor_by_pointer_spark.cache import release_all
+
+    release_all()
