@@ -457,6 +457,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), JACCARD_THRESHOLD)
 
 
+MINHASH_EST_THRESHOLD = 0.5
+
+
+def q_dedup_minhash_est(spark, sf_dir):
+    """Signature-level near-dup pairs (no second shingle pass) — the batch
+    twin of the streaming banded-MinHash operator; stream ≡ batch is
+    pytest-pinned in tests/test_streaming.py."""
+    return dd.minhash_est_pairs(
+        _t(spark, sf_dir, "documents"), MINHASH_EST_THRESHOLD
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_pairs(_t(spark, sf_dir, "documents"), SIMHASH_MAX_HAMMING)
 
@@ -950,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_nprobe2": q_ann_topk_ivf_nprobe2,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
+        "dedup_minhash_est": q_dedup_minhash_est,
         # training-data pipeline
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -980,8 +993,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct": q_agg_distinct,
         "window_rank": q_window_rank,
         "q5_local_supplier": q5_local_supplier,
-        "rollup_events": q_rollup_events,
         # ---- tail: family variants, driver-green in r1/r2 (see docstring)
+        "rollup_events": q_rollup_events,
         "pivot_events": q_pivot_events,
         "events_sessions": q_events_sessions,
         "window_moving_avg": q_window_moving_avg,
@@ -1448,6 +1461,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.id_a, c.id_b, coalesce(jp.jaccard, 0) AS jaccard
             FROM cand c LEFT JOIN jp ON jp.id_a = c.id_a AND jp.id_b = c.id_b
             WHERE coalesce(jp.jaccard, 0) >= {JACCARD_THRESHOLD}
+        """,
+        "dedup_minhash_est": f"""
+            WITH {jacc_pairs.strip()},
+            sig AS (SELECT doc_id, {mh_mins} FROM sh GROUP BY doc_id),
+            buckets AS ({band_rows}),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh
+                WHERE a.doc_id < b.doc_id
+            )
+            SELECT c.id_a, c.id_b,
+                   round(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k))}) / {k}.0, 4) AS est
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+            WHERE round(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(k))}) / {k}.0, 4) >= {MINHASH_EST_THRESHOLD}
         """,
         "dedup_simhash": f"""
             WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),

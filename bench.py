@@ -38,6 +38,7 @@ HEADLINE = [
     "ner_model_gp",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_est",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "neardup_embedding_cosine",

@@ -1,0 +1,205 @@
+"""Streaming near-duplicate detection: stateful banded MinHash at ingest.
+
+Crawl ingest wants near-dup suppression ONLINE — not a nightly batch join —
+so this operator keeps, per LSH bucket, the signatures of previously seen
+pages and emits a candidate pair the moment a later page collides with one
+(signature-estimated Jaccard ≥ threshold). The batch twin
+(`operators/dedup.py:minhash_est_pairs`) computes the identical pair set
+over the same corpus at rest; pytest pins stream ≡ batch across multiple
+micro-batch drains.
+
+Hash math is IDENTICAL to the batch operator (word-3-gram shingles of the
+lowercased/whitespace-collapsed text; two 60-bit hashes per md5 digest —
+hex chars 1-15 and 17-31; per-band bucket = md5 of the '|'-joined minhash
+components), so a pair flagged online is exactly a pair the batch sweep
+would flag. Normalization mirrors Spark's ASCII ``\\s`` class; the shared
+synthetic corpus is ASCII.
+
+Scale shape: the signature stage is stateless mapInPandas (zero shuffle);
+the stateful stage shuffles one (band, bucket) row per page per band —
+bands × corpus rows, each a few hundred bytes, NOT the page text. Bucket
+state is capped (``max_per_bucket``) so a degenerate bucket (empty-ish
+pages all hashing together) cannot grow state unboundedly; the cap is the
+documented bounded-state trade-off, like the TTL in first-seen dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.dedup import MINHASH_BANDS, MINHASH_K, NGRAM_N
+
+# Java regex \s (ASCII): [ \t\n\x0B\f\r] — Python's \s is unicode-wide, so
+# spell the class out to match Spark's regexp_replace byte-for-byte
+_WS = re.compile(r"[ \t\n\x0B\f\r]+")
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bh", T.StringType(), False),
+        T.StructField("sig", T.ArrayType(T.LongType()), False),
+    ]
+)
+
+PAIRS_SCHEMA = T.StructType(
+    [
+        T.StructField("url_a", T.StringType(), False),
+        T.StructField("url_b", T.StringType(), False),
+        T.StructField("est", T.DoubleType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("urls", T.ArrayType(T.StringType()), False),
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType())), False),
+    ]
+)
+
+
+def minhash_signature(text: str, k: int = MINHASH_K, n: int = NGRAM_N) -> list[int] | None:
+    """k-component MinHash signature of one document — None if the doc is
+    too short to shingle. Bit-identical to the batch/SQL formulation."""
+    norm = _WS.sub(" ", (text or "").lower()).strip()
+    words = norm.split(" ")
+    if len(words) < n:
+        return None
+    shingles = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+    sig = [None] * k
+    for s in range(k // 2):
+        suffix = f"#{s}"
+        lo, hi = None, None
+        for sh in shingles:
+            hexd = hashlib.md5((sh + suffix).encode("utf-8")).hexdigest()
+            h0 = int(hexd[0:15], 16)
+            h1 = int(hexd[16:31], 16)
+            if lo is None or h0 < lo:
+                lo = h0
+            if hi is None or h1 < hi:
+                hi = h1
+        sig[2 * s] = lo
+        sig[2 * s + 1] = hi
+    return sig
+
+
+def band_hash(sig: list[int], band: int, bands: int = MINHASH_BANDS) -> str:
+    rpb = len(sig) // bands
+    joined = "|".join(str(v) for v in sig[band * rpb : (band + 1) * rpb])
+    return hashlib.md5(joined.encode("utf-8")).hexdigest()
+
+
+def _signature_stage(pages: DataFrame, k: int, bands: int) -> DataFrame:
+    """Stateless mapInPandas: page → ``bands`` (url, band, bh, sig) rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                sig = minhash_signature(text or "", k)
+                if sig is None:
+                    continue
+                for b in range(bands):
+                    rows.append((url, b, band_hash(sig, b, bands), sig))
+            yield pd.DataFrame(rows, columns=["url", "band", "bh", "sig"])
+
+    return pages.mapInPandas(run, SIG_SCHEMA)
+
+
+def _make_bucket_fn(threshold: float, k: int, max_per_bucket: int):
+    def per_bucket(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - TTL not enabled by default
+            state.remove()
+            return
+        urls, sigs = state.get if state.exists else ([], [])
+        urls, sigs = list(urls), [list(s) for s in sigs]
+        out = []
+        rows = []
+        for pdf in pdf_iter:
+            for url, sig in zip(pdf["url"], pdf["sig"]):
+                # plain-python ints: numpy int64 does not survive the state
+                # store's pickle round-trip
+                rows.append((str(url), [int(x) for x in sig]))
+        # deterministic within-batch order (micro-batch row order is not
+        # guaranteed across partitions of the shuffle)
+        rows.sort(key=lambda r: r[0])
+        for url, sig in rows:
+            for seen_url, seen_sig in zip(urls, sigs):
+                if seen_url == url:
+                    continue
+                eq = sum(1 for x, y in zip(sig, seen_sig) if x == y)
+                est = eq / k
+                if est >= threshold:
+                    out.append((seen_url, url, round(est, 4)))
+            if len(urls) < max_per_bucket:
+                urls.append(url)
+                sigs.append(sig)
+        state.update((urls, sigs))
+        if out:
+            yield pd.DataFrame(out, columns=["url_a", "url_b", "est"])
+
+    return per_bucket
+
+
+def stream_neardup_minhash(
+    pages: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    max_per_bucket: int = 64,
+) -> DataFrame:
+    """pages stream → (url_a, url_b, est) candidate near-dup pairs, online.
+
+    ``url_a`` arrived first (earlier micro-batch, or lexicographically
+    earlier within the same micro-batch); ``est`` is the signature-estimated
+    Jaccard (fraction of equal MinHash components). A pair colliding in
+    multiple bands is emitted once per colliding band — downstream distinct
+    (or the first hit) is the consumer's choice; the batch twin's pair set
+    equals this stream's DISTINCT undirected pairs (pytest-pinned)."""
+    sig = _signature_stage(pages, k, bands)
+    return sig.groupBy("band", "bh").applyInPandasWithState(
+        _make_bucket_fn(threshold, k, max_per_bucket),
+        outputStructType=PAIRS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_neardup_stream_once(
+    spark,
+    pages_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int = 4,
+) -> None:
+    """Drain new pages files, appending flagged near-dup pairs to a parquet
+    sink (exactly-once via checkpoint; resumable — bucket state lives in the
+    state store)."""
+    from ..sources.pages import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+    q = (
+        stream_neardup_minhash(stream, threshold=threshold)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

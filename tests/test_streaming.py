@@ -245,3 +245,62 @@ def test_append_mode_watermark_drops_late_page(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert emitted == {(10, "location"): 2, (13, "location"): 2}
+
+
+def test_stream_neardup_minhash_equals_batch_twin(spark, tmp_path):
+    """Online banded-MinHash near-dup flags EXACTLY the pairs the batch
+    signature-level sweep finds, including when input arrives across two
+    drains with a checkpoint resume between them (bucket state restored)."""
+    import pyspark.sql.functions as F
+
+    from entity_extractor_by_pointer_spark.operators.dedup import minhash_est_pairs
+    from entity_extractor_by_pointer_spark.streaming.neardup import (
+        minhash_signature,
+        run_neardup_stream_once,
+    )
+    from entity_extractor_by_pointer_spark.operators.dedup import minhash_signatures
+
+    pages_dir = str(tmp_path / "pages_nd")
+    base = generate_pages(spark, 50, partitions=3)
+    base.write.parquet(pages_dir)
+    # exact re-crawls under new urls -> guaranteed est=1.0 pairs
+    base.limit(10).withColumn("url", F.concat(F.col("url"), F.lit("?re"))).write.mode(
+        "append"
+    ).parquet(pages_dir)
+
+    # python signature math is bit-identical to the Spark/SQL formulation
+    docs = spark.read.parquet(pages_dir).select(
+        F.col("url").alias("doc_id"), "text"
+    )
+    spark_sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(16)]
+        for r in minhash_signatures(docs).limit(20).collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, sig in spark_sigs.items():
+        assert minhash_signature(texts[did]) == sig, did
+
+    ckpt = str(tmp_path / "ckpt_nd")
+    out_dir = str(tmp_path / "nd_out")
+    run_neardup_stream_once(spark, pages_dir, ckpt, out_dir, max_files_per_trigger=2)
+
+    # second drop: more re-crawls (pairs must span the drain boundary)
+    base.limit(5).withColumn("url", F.concat(F.col("url"), F.lit("?re2"))).write.mode(
+        "append"
+    ).parquet(pages_dir)
+    run_neardup_stream_once(spark, pages_dir, ckpt, out_dir, max_files_per_trigger=2)
+
+    streamed = {
+        (frozenset((r["url_a"], r["url_b"])), r["est"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (frozenset((r["id_a"], r["id_b"])), r["est"])
+        for r in minhash_est_pairs(docs.unionAll(
+            base.limit(5)
+            .withColumn("url", F.concat(F.col("url"), F.lit("?re2")))
+            .select(F.col("url").alias("doc_id"), "text")
+        ), id_col="doc_id").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) >= 15  # 10 + 5 re-crawls pair with their originals
