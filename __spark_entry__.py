@@ -78,6 +78,26 @@ CANON_MAP = {
     "PER_QUERY": "PER_QUERY",
 }
 
+# ambiguous-surface disambiguation: candidate senses per surface + each
+# sense's context-term profile (terms drawn from the synthetic doc vocab)
+AMBIG_CANDIDATES = [
+    ("spark", "ORG_SPARK"),
+    ("spark", "PRODUCT_SPARK"),
+    ("window", "LOC_WINDOW"),
+    ("window", "UI_WINDOW"),
+]
+ENTITY_PROFILES = [
+    ("ORG_SPARK", "table"),
+    ("ORG_SPARK", "query"),
+    ("ORG_SPARK", "join"),
+    ("PRODUCT_SPARK", "fast"),
+    ("PRODUCT_SPARK", "slow"),
+    ("LOC_WINDOW", "stream"),
+    ("LOC_WINDOW", "batch"),
+    ("UI_WINDOW", "filter"),
+    ("UI_WINDOW", "column"),
+]
+
 JACCARD_THRESHOLD = 0.8
 # blocking-join document-frequency cap: shingles appearing in more than this
 # many docs are excluded from candidate generation (NOT from verification).
@@ -207,6 +227,21 @@ def q_linking_unlinked(spark, sf_dir):
     m = _doc_mentions(spark, sf_dir)
     aliases = alias_df(spark, LINK_ALIASES)
     return unlinked_only(m, aliases).select("doc_id", "entity").dropDuplicates()
+
+
+def q_entity_disambiguation(spark, sf_dir):
+    """Context-scored sense picking for ambiguous surfaces: per (doc,
+    surface) the candidate entity whose term profile overlaps the doc's
+    token set most (ties → entity_id ASC). Broadcast candidates/profiles,
+    map-side-combined affinity, struct-min winner."""
+    from entity_extractor_by_pointer_spark.operators.linking import (
+        disambiguate_mentions,
+    )
+
+    m = _doc_mentions(spark, sf_dir)
+    cand = spark.createDataFrame(AMBIG_CANDIDATES, "surface string, entity_id string")
+    prof = spark.createDataFrame(ENTITY_PROFILES, "entity_id string, term string")
+    return disambiguate_mentions(m, cand, prof, _t(spark, sf_dir, "documents"))
 
 
 def q_canonical_mentions(spark, sf_dir):
@@ -963,6 +998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
+        "entity_disambiguation": q_entity_disambiguation,
         # training-data pipeline
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -992,11 +1028,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": q_anti_join,
         "agg_distinct": q_agg_distinct,
         "window_rank": q_window_rank,
-        "q5_local_supplier": q5_local_supplier,
         # ---- tail: family variants, driver-green in r1/r2 (see docstring)
+        "q5_local_supplier": q5_local_supplier,
+        "events_sessions": q_events_sessions,
         "rollup_events": q_rollup_events,
         "pivot_events": q_pivot_events,
-        "events_sessions": q_events_sessions,
         "window_moving_avg": q_window_moving_avg,
         "doc_len_stats": q_doc_len_stats,
         "sort_topk": q_sort_topk,
@@ -1277,6 +1313,40 @@ def oracle_sql() -> dict[str, str]:
             WITH {mentions_cte.strip()}
             SELECT DISTINCT m.doc_id, m.entity
             FROM mentions m ANTI JOIN {aliases} ON al.surface = m.entity
+        """,
+        "entity_disambiguation": f"""
+            WITH {mentions_cte.strip()},
+            toks AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                FROM documents
+            ),
+            prof(entity_id, term) AS (VALUES {", ".join(f"('{e}', '{t}')" for e, t in ENTITY_PROFILES)}),
+            cand(surface, entity_id) AS (VALUES {", ".join(f"('{s}', '{e}')" for s, e in AMBIG_CANDIDATES)}),
+            aff AS (
+                SELECT t.doc_id, p.entity_id, count(*) AS overlap
+                FROM toks t JOIN prof p ON p.term = t.term
+                WHERE t.term != ''
+                GROUP BY 1, 2
+            ),
+            fact AS (
+                SELECT DISTINCT m.doc_id, m.entity, lower(trim(m.entity)) AS ns
+                FROM mentions m
+            ),
+            scored AS (
+                SELECT f.doc_id, f.entity, c.entity_id,
+                       coalesce(a.overlap, 0) AS overlap
+                FROM fact f
+                JOIN cand c ON c.surface = f.ns
+                LEFT JOIN aff a ON a.doc_id = f.doc_id AND a.entity_id = c.entity_id
+            )
+            SELECT doc_id, entity, entity_id, overlap::INT AS score
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id, entity
+                    ORDER BY overlap DESC, entity_id ASC) AS rk
+                FROM scored
+            ) WHERE rk = 1
         """,
         "canonical_mentions": f"""
             WITH {mentions_cte.strip()}

@@ -51,3 +51,79 @@ def unlinked_only(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     dim = aliases.select(F.lower(F.trim(F.col("surface"))).alias("_norm_surface"))
     fact = mentions.withColumn("_norm_surface", F.lower(F.trim(F.col("entity"))))
     return fact.join(F.broadcast(dim), "_norm_surface", "left_anti").drop("_norm_surface")
+
+
+def disambiguate_mentions(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    profiles: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-based disambiguation for AMBIGUOUS surfaces: when one surface
+    maps to several candidate entities, pick per (doc, surface) the entity
+    whose term profile overlaps the document's token set most.
+
+    - ``candidates``: (surface, entity_id) — one row per candidate sense
+      (the ambiguous complement of the 1:1 ``alias_df`` dictionary).
+    - ``profiles``: (entity_id, term) — each entity's context vocabulary.
+
+    score(doc, entity) = |tokens(doc) ∩ profile(entity)|; winner = max
+    score, ties broken by entity_id ASC (deterministic, SQL-mirrorable).
+    Entities with zero overlap score 0 — the surface still links (to the
+    lexicographically first candidate) rather than dropping the mention,
+    mirroring `link_mentions`' keep-with-confidence contract.
+
+    Scale shape: the doc×entity affinity is computed ONCE per (doc, entity)
+    — distinct doc tokens broadcast-joined to the (tiny) profile table and
+    immediately count-aggregated map-side, so the shuffle carries only
+    (doc, entity, partial-count) rows for MATCHING tokens, never the corpus
+    text. Candidates and profiles are broadcast; the winner is a
+    map-side-combinable struct-max aggregate, not a window sort."""
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .dropDuplicates([id_col, "term"])
+    )
+    affinity = (
+        toks.join(F.broadcast(profiles), "term")
+        .groupBy(id_col, "entity_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    cand_dim = candidates.select(
+        F.lower(F.trim(F.col("surface"))).alias("_norm_surface"), "entity_id"
+    )
+    fact = (
+        mentions.withColumn("_norm_surface", F.lower(F.trim(F.col("entity"))))
+        .select(id_col, "entity", "_norm_surface")
+        .dropDuplicates()
+    )
+    scored = (
+        fact.join(F.broadcast(cand_dim), "_norm_surface")
+        .join(affinity, [id_col, "entity_id"], "left")
+        .fillna(0, subset=["overlap"])
+    )
+    # lexicographic max over (overlap, reversed entity_id): ties on overlap
+    # resolve to the SMALLEST entity_id — monotonically-decreasing string
+    # key via unicode complement is not SQL-portable, so carry -overlap and
+    # use min over (neg_overlap, entity_id) instead
+    return (
+        scored.groupBy(id_col, "entity")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("overlap")).alias("neg"), F.col("entity_id"), F.col("overlap")
+                )
+            ).alias("m")
+        )
+        .select(
+            id_col,
+            "entity",
+            F.col("m.entity_id").alias("entity_id"),
+            F.col("m.overlap").cast("int").alias("score"),
+        )
+    )

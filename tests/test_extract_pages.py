@@ -39,3 +39,47 @@ def test_pages_schema_matches_input_hint(spark):
         ("text", "string"),
         ("lang", "string"),
     ]
+
+
+def test_disambiguate_mentions_hand_computed(spark):
+    """Winner = max profile overlap with the doc's token set; ties break to
+    the smaller entity_id; zero-overlap surfaces still link (score 0)."""
+    from entity_extractor_by_pointer_spark.operators.linking import (
+        disambiguate_mentions,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the query table join runs fast"),   # ORG 3 vs PRODUCT 1
+            (2, "fast slow fast slow"),              # ORG 0 vs PRODUCT 2
+            (3, "nothing relevant here"),            # 0 vs 0 → tie → ORG
+        ],
+        "doc_id long, text string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "spark"), (2, "spark"), (3, "spark"), (1, "unknown")],
+        "doc_id long, entity string",
+    )
+    cand = spark.createDataFrame(
+        [("spark", "ORG_SPARK"), ("spark", "PRODUCT_SPARK")],
+        "surface string, entity_id string",
+    )
+    prof = spark.createDataFrame(
+        [
+            ("ORG_SPARK", "table"),
+            ("ORG_SPARK", "query"),
+            ("ORG_SPARK", "join"),
+            ("PRODUCT_SPARK", "fast"),
+            ("PRODUCT_SPARK", "slow"),
+        ],
+        "entity_id string, term string",
+    )
+    got = {
+        r["doc_id"]: (r["entity_id"], r["score"])
+        for r in disambiguate_mentions(mentions, cand, prof, docs).collect()
+    }
+    assert got == {
+        1: ("ORG_SPARK", 3),
+        2: ("PRODUCT_SPARK", 2),  # duplicate tokens count once (distinct)
+        3: ("ORG_SPARK", 0),      # tie at 0 → lexicographically first sense
+    }
