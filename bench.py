@@ -36,6 +36,9 @@ HEADLINE = [
     "triples_flagship",
     "ner_mentions",
     "ner_model_gp",
+    "entity_disambiguation",
+    "entity_pmi_edges",
+    "doc_boilerplate",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_minhash_est",
