@@ -474,3 +474,45 @@ def test_boilerplate_stats_hand_computed(spark):
     assert got[3] == (1, 1, 1.0)
     assert got[4] == (2, 0, 0.0)
     assert got[5] == (0, 0, 0.0)  # shingle-less doc still gets a row
+
+
+def test_boilerplate_stats_matches_python_reference_randomized(spark):
+    """Randomized corpora vs an independent pure-python shingle-df census."""
+    import random
+    import re
+
+    from entity_extractor_by_pointer_spark.operators.curation import boilerplate_stats
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        texts = {
+            i: " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            for i in range(rng.randint(4, 25))
+        }
+        docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+        min_df = rng.randint(2, 4)
+        got = {
+            r["doc_id"]: (r["n_shingles"], r["n_boiler"], r["boiler_ratio"])
+            for r in boilerplate_stats(docs, min_df=min_df).collect()
+        }
+        sh = {
+            i: (
+                {
+                    " ".join(w[j : j + 3])
+                    for j in range(len(w) - 2)
+                }
+                if len(w := re.sub(r"\s+", " ", t.lower()).strip().split(" ")) >= 3
+                else set()
+            )
+            for i, t in texts.items()
+        }
+        df = {}
+        for s in sh.values():
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+        want = {}
+        for i, s in sh.items():
+            nb = sum(1 for g in s if df[g] >= min_df)
+            want[i] = (len(s), nb, round(nb / len(s), 6) if s else 0.0)
+        assert got == want, (trial, min_df, got, want)

@@ -73,3 +73,46 @@ def test_entity_pmi_edges_hand_computed(spark):
     }
     # (x,y) genuinely associated (pmi > 0); (x,z) below-chance (pmi < 0)
     assert got[("x", "y")][1] > 0 > got[("x", "z")][1]
+
+
+def test_entity_pmi_edges_matches_python_reference_randomized(spark):
+    """Randomized corpora vs an independent pure-python PMI computation."""
+    import math
+    import random
+
+    from entity_extractor_by_pointer_spark.operators.graph import entity_pmi_edges
+
+    rng = random.Random(7)
+    ents = ["e1", "e2", "e3", "e4", "e5"]
+    for trial in range(3):
+        rows = []
+        docs = {}
+        for d in range(rng.randint(5, 30)):
+            k = rng.randint(0, 4)
+            s = set(rng.sample(ents, k))
+            docs[d] = s
+            rows += [(d, e) for e in s]
+            # duplicates must not change anything
+            rows += [(d, e) for e in list(s)[:1]]
+        if not rows:
+            continue
+        cm = spark.createDataFrame(rows, "doc_id long, canon_id string")
+        got = {
+            (r["entity_a"], r["entity_b"]): (r["co_docs"], r["pmi"])
+            for r in entity_pmi_edges(cm).collect()
+        }
+        n = len({d for d, s in docs.items() if s})
+        df = {}
+        co = {}
+        for d, s in docs.items():
+            for e in s:
+                df[e] = df.get(e, 0) + 1
+            for a in s:
+                for b in s:
+                    if a < b:
+                        co[(a, b)] = co.get((a, b), 0) + 1
+        want = {
+            p: (c, round(math.log(c * n / (df[p[0]] * df[p[1]])), 6))
+            for p, c in co.items()
+        }
+        assert got == want, (trial, got, want)

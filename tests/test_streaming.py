@@ -304,3 +304,43 @@ def test_stream_neardup_minhash_equals_batch_twin(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) >= 15  # 10 + 5 re-crawls pair with their originals
+
+
+def test_neardup_bucket_state_cap():
+    """Bounded-state contract of the streaming near-dup bucket handler:
+    once a bucket holds max_per_bucket signatures, later arrivals still
+    MATCH against stored state but are not appended (state can't grow)."""
+    import pandas as pd
+
+    from entity_extractor_by_pointer_spark.streaming.neardup import _make_bucket_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_bucket_fn(threshold=0.5, k=4, max_per_bucket=2)
+    state = FakeState()
+    sig = [1, 2, 3, 4]
+
+    def batch(*rows):
+        return iter([pd.DataFrame(rows, columns=["url", "sig"])])
+
+    # fill the bucket to the cap
+    list(fn(("b", "h"), batch(("u1", sig), ("u2", sig)), state))
+    assert [list(x) for x in state._v[0]] or state._v[0] == ["u1", "u2"]
+    assert len(state._v[0]) == 2
+    # third arrival: matches BOTH stored signatures, state does not grow
+    out = list(fn(("b", "h"), batch(("u3", sig)), state))
+    pairs = {(r.url_a, r.url_b) for df in out for r in df.itertuples()}
+    assert pairs == {("u1", "u3"), ("u2", "u3")}
+    assert len(state._v[0]) == 2  # capped
