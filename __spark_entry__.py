@@ -471,6 +471,20 @@ def q_doc_boilerplate(spark, sf_dir):
     return boilerplate_stats(_t(spark, sf_dir, "documents"), min_df=4)
 
 
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size overlapping token windows per document — the pre-training
+    chunking step, pure Catalyst (split → sequence → posexplode → slice)."""
+    from entity_extractor_by_pointer_spark.functions.textstats import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), CHUNK_TOKENS, CHUNK_OVERLAP
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dd.dedup_exact(_t(spark, sf_dir, "documents"))
 
@@ -999,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
         "entity_disambiguation": q_entity_disambiguation,
+        "doc_chunks": q_doc_chunks,
         # training-data pipeline
         "doc_token_counts": q_doc_token_counts,
         "doc_lang_id": q_doc_lang_id,
@@ -1027,8 +1042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "agg_distinct": q_agg_distinct,
-        "window_rank": q_window_rank,
         # ---- tail: family variants, driver-green in r1/r2 (see docstring)
+        "window_rank": q_window_rank,
         "q5_local_supplier": q5_local_supplier,
         "events_sessions": q_events_sessions,
         "rollup_events": q_rollup_events,
@@ -1477,6 +1492,21 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # doc_lang_id / doc_quality are generated in _textstat_oracles()
+        "doc_chunks": f"""
+            WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents),
+            ch AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(0,
+                           (1 + ceil(greatest(len(w) - {CHUNK_TOKENS}, 0)
+                                     / {CHUNK_TOKENS - CHUNK_OVERLAP}.0))::INT - 1)) AS chunk_id
+                FROM dn
+            )
+            SELECT doc_id, chunk_id::INT AS chunk_id,
+                   least({CHUNK_TOKENS}, len(w) - chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP})::INT AS n_tokens,
+                   array_to_string(w[chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + 1 :
+                                     chunk_id * {CHUNK_TOKENS - CHUNK_OVERLAP} + {CHUNK_TOKENS}], ' ') AS chunk_text
+            FROM ch
+        """,
         "doc_fingerprint": f"""
             SELECT doc_id, {_H64.format(x=_NORM_SQL)} AS fingerprint FROM documents
         """,

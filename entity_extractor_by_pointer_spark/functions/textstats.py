@@ -143,3 +143,55 @@ def winnow_fingerprint(col: Column, gram: int = 8, stride: int = 4) -> Column:
     return F.array_min(
         F.transform(positions, lambda i: md5_int64(F.substring(t, i, gram)))
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split each document into fixed-size overlapping whitespace-token
+    windows — the chunking step an LLM training pipeline runs before
+    packing/tokenizing, kept entirely inside Catalyst (split → sequence →
+    posexplode → slice → concat_ws; no UDF).
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the last window
+    may be short but is never empty; documents shorter than one window
+    yield exactly one chunk. Returns (doc_id, chunk_id, n_tokens,
+    chunk_text) with chunk_id 0-based in document order — deterministic,
+    so chunk identity is stable across runs/partitionings.
+
+    Scale shape: one narrow pass; output rows ≈ corpus_tokens / stride per
+    doc, produced by generator-style posexplode (no driver or whole-doc
+    array shuffle — the split array lives only inside the projection)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    w = F.split(norm_text(F.col(text_col)), " ")
+    n = F.size(w)
+    # number of windows: 1 + ceil(max(n - chunk, 0) / stride)
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(chunk_tokens), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    exploded = docs.select(
+        F.col(id_col),
+        w.alias("_w"),
+        F.posexplode(F.sequence(F.lit(0), n_chunks - F.lit(1))).alias(
+            "chunk_id", "_start_idx"
+        ),
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(
+            F.lit(chunk_tokens),
+            F.size("_w") - F.col("chunk_id") * F.lit(stride),
+        )
+        .cast("int")
+        .alias("n_tokens"),
+        F.concat_ws(
+            " ", F.slice("_w", F.col("chunk_id") * F.lit(stride) + 1, chunk_tokens)
+        ).alias("chunk_text"),
+    )

@@ -516,3 +516,36 @@ def test_boilerplate_stats_matches_python_reference_randomized(spark):
             nb = sum(1 for g in s if df[g] >= min_df)
             want[i] = (len(s), nb, round(nb / len(s), 6) if s else 0.0)
         assert got == want, (trial, min_df, got, want)
+
+
+def test_chunk_documents_hand_computed_and_reconstruction(spark):
+    """Window boundaries, short-doc and empty-doc cases; and removing the
+    overlap from every chunk after the first reconstructs the document."""
+    import pytest
+
+    from entity_extractor_by_pointer_spark.functions.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short doc"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    assert rows == [
+        (1, 0, 4, "w0 w1 w2 w3"),
+        (1, 1, 4, "w3 w4 w5 w6"),
+        (1, 2, 4, "w6 w7 w8 w9"),
+        (2, 0, 2, "short doc"),
+        (3, 0, 1, ""),  # empty doc → one empty chunk (split('') == [''])
+    ]
+    # reconstruction: chunk 0 whole, later chunks minus the leading overlap
+    toks = []
+    for _d, cid, _n, text in rows[:3]:
+        ws = text.split(" ")
+        toks += ws if cid == 0 else ws[1:]
+    assert toks == [f"w{i}" for i in range(10)]
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
