@@ -116,3 +116,37 @@ def test_entity_pmi_edges_matches_python_reference_randomized(spark):
             for p, c in co.items()
         }
         assert got == want, (trial, got, want)
+
+
+def test_pagerank_random_graph_matches_numpy(spark):
+    """500-node random graph (not the 4-node KG toy): 6 iterations of the
+    distributed join+agg loop equal numpy power iteration to the rounding
+    grid, including dangling nodes and the localCheckpoint truncation at
+    iteration 3."""
+    import random
+
+    rng = random.Random(13)
+    n_nodes = 500
+    edges = set()
+    while len(edges) < 2000:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    rows = [(a, "p", b, "u") for a, b in edges]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, url string")
+    got = {r["entity"]: r["rank"] for r in pagerank(t, iterations=6, damping=0.85).collect()}
+
+    nodes = sorted({x for e in edges for x in e})
+    out_deg = {}
+    for a, _b in edges:
+        out_deg[a] = out_deg.get(a, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(6):
+        inflow = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            inflow[b] += rank[a] / out_deg[a]
+        rank = {v: (1 - 0.85) / n + 0.85 * inflow[v] for v in nodes}
+    assert len(got) == n
+    for v in nodes:
+        assert abs(got[v] - round(rank[v], 6)) <= 2e-6, (v, got[v], rank[v])
