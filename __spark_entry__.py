@@ -587,15 +587,30 @@ def _ivf_corpus(spark, sf_dir):
     import tempfile
 
     # cache key includes a source fingerprint (sizes+mtimes of the parquet
-    # files) so a regenerated testdata dir never serves a stale index
+    # files) so a regenerated testdata dir never serves a stale index;
+    # folded over sorted names (listdir order is filesystem-dependent —
+    # an order-dependent fold would re-materialize spuriously, round-3
+    # ADVICE)
     src = os.path.join(sf_dir, "embeddings.parquet")
     stamp = 0
     if os.path.isdir(src):
-        for f in os.listdir(src):
+        for f in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, f))
             stamp = (stamp * 1_000_003 + st.st_size + int(st.st_mtime)) % (1 << 60)
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    path = os.path.join(tempfile.gettempdir(), f"eeps_ivf_corpus_{tag}_{stamp:x}")
+    tmp = tempfile.gettempdir()
+    path = os.path.join(tmp, f"eeps_ivf_corpus_{tag}_{stamp:x}")
+    # prune stale stamped dirs for the same tag (superseded source data)
+    import shutil
+
+    for d in os.listdir(tmp):
+        p = os.path.join(tmp, d)
+        if (
+            d.startswith(f"eeps_ivf_corpus_{tag}_")
+            and p != path
+            and os.path.isdir(p)
+        ):
+            shutil.rmtree(p, ignore_errors=True)
     return sim.materialize_ivf_corpus(_t(spark, sf_dir, "embeddings"), path)
 
 

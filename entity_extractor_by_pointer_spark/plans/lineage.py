@@ -69,10 +69,31 @@ class StageWriter:
         order (two commits within mtime granularity, dir copies, clock skew
         can swap it and silently change what ``read_stage(as_of=...)``
         includes), so the writer stamps an explicit sequence at commit time —
-        the parquet analog of Iceberg's snapshot log ordinal."""
+        the parquet analog of Iceberg's snapshot log ordinal.
+
+        Before allocating, any OTHER committed-but-unstamped dir (a crash
+        landed between its pages commit and its stamp) is healed first, in
+        mtime order — so a new commit can never be ordered before an
+        increment that truly committed earlier (round-3 ADVICE)."""
         existing = self._read_seq(inc_id)
         if existing is not None:
             return existing
+        root = os.path.join(self.workdir, "pages_inc")
+        unstamped_others = [
+            d
+            for d in self._committed_dirs()
+            if d != inc_id and self._read_seq(d) is None
+        ]
+        for d in sorted(
+            unstamped_others,
+            key=lambda d: os.path.getmtime(os.path.join(root, d, "_SUCCESS")),
+        ):
+            self._assign_next_seq(d)
+        return self._assign_next_seq(inc_id)
+
+    def _assign_next_seq(self, inc_id: str) -> int:
+        """Stamp ``inc_id`` with max(existing seq)+1 — no healing, no
+        idempotence check (callers guarantee both)."""
         seqs = [
             s
             for s in (self._read_seq(d) for d in self._committed_dirs())
@@ -134,6 +155,8 @@ class StageWriter:
         orphaned dirs (no ``_SUCCESS``, or no pages commit) are removed."""
         import shutil
 
+        for stage in stages:
+            self._recover_compaction(stage)
         snaps = self.list_snapshots()
         expired = snaps[:-keep_last] if keep_last > 0 else list(snaps)
         committed = set(snaps)
@@ -158,15 +181,25 @@ class StageWriter:
                 df = df.unionByName(self._read_root(base, p))
             part_cols = self._detect_partition_cols(base)
             tmp = base + ".compact_tmp"
+            if os.path.isdir(tmp):  # stale tmp from an aborted attempt
+                shutil.rmtree(tmp)
             writer = df.write.mode("overwrite")
             if part_cols:
                 writer = writer.partitionBy(*part_cols)
             writer.parquet(tmp)
-            schema_json = df.schema.json()
-            shutil.rmtree(base)
+            # schema goes into tmp BEFORE the swap so no window exists where
+            # the live base table lacks its schema manifest (round-3 ADVICE);
+            # the swap itself is rename/rename/delete — every crash point
+            # leaves either the old base or a complete new base on disk,
+            # recoverable by _recover_compaction
+            with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
+                f.write(df.schema.json())
+            old = base + ".compact_old"
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(base, old)
             os.rename(tmp, base)
-            with open(os.path.join(base, "_stage_schema.json"), "w") as f:
-                f.write(schema_json)
+            shutil.rmtree(old)
             for p in dirs:
                 shutil.rmtree(p)
         # 2) remove orphans: snapshot dirs that are not committed (their own
@@ -186,6 +219,30 @@ class StageWriter:
                     shutil.rmtree(p)
                     orphans.append(f"{stage}_inc/{d}")
         return {"expired": expired, "orphans_removed": orphans}
+
+    def _recover_compaction(self, stage: str) -> None:
+        """Finish or roll back a compaction swap a crash left half-done.
+
+        States (see ``expire_snapshots``): tmp carries its schema manifest
+        only once it is a COMPLETE new base (data then manifest are written
+        before any rename). If ``base`` is missing, the crash landed mid-swap — promote
+        the complete tmp, else restore ``.compact_old``. If ``base`` exists,
+        any leftover tmp/old dir is stale and is removed. Called on every
+        retry (``expire_snapshots``) and read (``read_stage``)."""
+        import shutil
+
+        base = self._stage_path(stage)
+        tmp, old = base + ".compact_tmp", base + ".compact_old"
+        if not os.path.isdir(base):
+            if os.path.isdir(tmp) and os.path.exists(
+                os.path.join(tmp, "_stage_schema.json")
+            ):
+                os.rename(tmp, base)
+            elif os.path.isdir(old):
+                os.rename(old, base)
+        for p in (tmp, old):
+            if os.path.isdir(base) and os.path.isdir(p):
+                shutil.rmtree(p)
 
     def _detect_partition_cols(self, base: str) -> list[str]:
         """Partition columns of an existing stage dir (from `col=value`
@@ -221,6 +278,7 @@ class StageWriter:
         (inclusive), Iceberg-time-travel style; ``None`` reads latest.
         Roots are read separately and unioned by name so partition-column
         layouts stay per-root."""
+        self._recover_compaction(stage)
         base = self._stage_path(stage)
         schema_path = os.path.join(base, "_stage_schema.json")
         if os.path.exists(schema_path):

@@ -122,6 +122,20 @@ class KgPipeline:
         return self.writer.write_stage(name, compute(), partition_by=partition_by)
 
     def run(self, pages: DataFrame, resume: bool = False) -> DataFrame:
+        """Full batch run. Operator-level persists (``cache.cached``, e.g.
+        the first-mention table inside ``build_triples``) are released in a
+        ``finally`` — every stage is materialized to parquet before return,
+        so nothing downstream needs the cached blocks, and without the
+        release each run of a long-lived ingest would leak them (round-3
+        ADVICE)."""
+        from ..cache import release_all
+
+        try:
+            return self._run(pages, resume)
+        finally:
+            release_all()
+
+    def _run(self, pages: DataFrame, resume: bool = False) -> DataFrame:
         cfg = self.config
         t0 = time.time()
 
@@ -232,7 +246,19 @@ class KgPipeline:
         ``triple_counts`` is re-aggregated from the full triples table (a
         cheap salted count). This is the batch-side analog of the streaming
         ingest path for periodic crawl drops.
+
+        Like ``run``, operator-level persists are released in a ``finally``
+        so periodic increments on a long-lived driver don't accumulate
+        cached blocks (round-3 ADVICE).
         """
+        from ..cache import release_all
+
+        try:
+            return self._run_incremental(new_pages, _fail_after)
+        finally:
+            release_all()
+
+    def _run_incremental(self, new_pages: DataFrame, _fail_after: str | None = None) -> DataFrame:
         import os
 
         cfg = self.config
@@ -241,9 +267,11 @@ class KgPipeline:
 
         existing_urls = self.writer.read_stage("pages").select("url")
         fresh = new_pages.join(existing_urls, "url", "left_anti")
-        from pyspark.storagelevel import StorageLevel
+        from ..cache import cached
 
-        fresh_t = self._extract_checked(fresh).persist(StorageLevel.MEMORY_AND_DISK)
+        # registered persist: the wrapper's finally releases it even on the
+        # injected-crash paths, where the explicit unpersist is never reached
+        fresh_t = cached(self._extract_checked(fresh))
         # deterministic increment id: order-insensitive xor of url hashes +
         # count — a single aggregate row, no driver-side url collection
         # two independent order-insensitive folds: xor of one 60-bit url hash

@@ -282,3 +282,76 @@ def test_commit_seq_heals_missing_stamp(spark, tmp_path):
     pipe.run_incremental(generate_pages(spark, 80, partitions=2))
     snaps = pipe.writer.list_snapshots()
     assert snaps[0] == first and pipe.writer._read_seq(snaps[1]) == 2
+
+
+def test_commit_seq_heals_before_new_allocation(spark, tmp_path):
+    """Round-3 ADVICE: a NEW commit's assign_commit_seq must heal any older
+    committed-but-unstamped increment FIRST, so the new commit can never be
+    ordered before an increment that truly committed earlier — even when
+    nothing called list_snapshots in between."""
+    import os
+
+    wd = str(tmp_path / "heal2")
+    pipe = KgPipeline(spark, wd, "heal2")
+    pipe.run(generate_pages(spark, 40, partitions=2))
+    pipe.run_incremental(generate_pages(spark, 60, partitions=2))
+    (first,) = pipe.writer.list_snapshots()
+    os.remove(pipe.writer._seq_path(first))  # crash window: committed, unstamped
+    # restart path: a new increment commits and stamps WITHOUT list_snapshots
+    pipe2 = KgPipeline(spark, wd, "heal2b")
+    pipe2.run_incremental(generate_pages(spark, 80, partitions=2))
+    snaps = pipe2.writer.list_snapshots()
+    assert snaps[0] == first
+    assert pipe2.writer._read_seq(first) == 1
+    assert pipe2.writer._read_seq(snaps[1]) == 2
+
+
+def test_expire_compaction_crash_recovery(spark, tmp_path):
+    """Round-3 ADVICE: the compaction swap is crash-safe at every point.
+    Simulates the worst window — base renamed away, complete tmp not yet
+    promoted — and asserts readers recover the full table; also that a
+    half-written (schema-less) tmp rolls back to the old base."""
+    import os
+
+    wd = str(tmp_path / "crash")
+    pipe = KgPipeline(spark, wd, "crash")
+    pipe.run(generate_pages(spark, 50, partitions=2))
+    pipe.run_incremental(generate_pages(spark, 70, partitions=2))
+    before = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    base = os.path.join(wd, "pages")
+
+    # window A: tmp complete (schema manifest present), base renamed away
+    shutil.copytree(base, base + ".compact_tmp")
+    if not os.path.exists(os.path.join(base + ".compact_tmp", "_stage_schema.json")):
+        with open(os.path.join(base + ".compact_tmp", "_stage_schema.json"), "w") as f:
+            f.write(
+                pipe.writer.read_stage("pages").schema.json()
+            )
+    os.rename(base, base + ".compact_old")
+    got = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    assert got == before  # tmp promoted, reads intact
+    assert os.path.isdir(base)
+    assert not os.path.isdir(base + ".compact_tmp")
+    assert not os.path.isdir(base + ".compact_old")
+
+    # window B: half-written tmp (no schema manifest), base renamed away
+    shutil.copytree(base, base + ".compact_tmp")
+    os.remove(os.path.join(base + ".compact_tmp", "_stage_schema.json"))
+    os.rename(base, base + ".compact_old")
+    got = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    assert got == before  # old base restored
+    assert os.path.isdir(base)
+
+    # window C: stale leftovers while base exists are swept on next expire
+    shutil.copytree(base, base + ".compact_tmp")
+    pipe.writer.expire_snapshots(keep_last=0)
+    assert not os.path.isdir(base + ".compact_tmp")
+    assert got == sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
