@@ -150,3 +150,27 @@ def test_pagerank_random_graph_matches_numpy(spark):
     assert len(got) == n
     for v in nodes:
         assert abs(got[v] - round(rank[v], 6)) <= 2e-6, (v, got[v], rank[v])
+
+
+def test_pmi_per_doc_fanout_cap_excludes_pathological_doc(spark):
+    """A link-farm page with more canonical entities than the cap must be
+    excluded from the co-occurrence corpus (pairs AND marginals), bounding
+    the self-join fan-out; clean corpora take the exact zero-filter path."""
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.graph import entity_pmi_edges
+
+    normal = [(d, f"E{e}") for d in range(10) for e in (d % 3, d % 3 + 1)]
+    hot = [(99, f"H{e}") for e in range(300)]  # k=300 > cap 256
+    cm = spark.createDataFrame(normal + hot, "doc_id int, canon_id string")
+    try:
+        out = entity_pmi_edges(cm).collect()
+        ents = {r["entity_a"] for r in out} | {r["entity_b"] for r in out}
+        assert not any(e.startswith("H") for e in ents), "hot doc leaked into pairs"
+        assert len(out) <= 10 * 2  # bounded: no 300²/2 explosion
+        # exact path when under the cap: same input minus the hot doc
+        clean = spark.createDataFrame(normal, "doc_id int, canon_id string")
+        exact = sorted(map(tuple, entity_pmi_edges(clean, max_entities_per_doc=None).collect()))
+        capped = sorted(map(tuple, entity_pmi_edges(clean).collect()))
+        assert exact == capped
+    finally:
+        release_all()

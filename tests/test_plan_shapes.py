@@ -92,3 +92,51 @@ def test_kmeans_assignment_is_aggregate_not_window(spark):
     from entity_extractor_by_pointer_spark.cache import release_all
 
     release_all()
+
+
+def test_pmi_df_broadcast_is_census_gated(spark):
+    """The PMI marginal join must carry the broadcast hint only under the
+    entity-count gate. With autoBroadcastJoinThreshold disabled, the hint is
+    the ONLY way a broadcast can appear — so: default gate (tiny testdata)
+    → BroadcastHashJoin present; gate forced to 0 → none (shuffle join)."""
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.graph import entity_pmi_edges
+
+    cm = spark.createDataFrame(
+        [(d, f"E{e}") for d in range(20) for e in range(d % 4 + 1)],
+        "doc_id int, canon_id string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = _plan(entity_pmi_edges(cm))
+        assert "BroadcastHashJoin" in below, below
+        above = _plan(entity_pmi_edges(cm, broadcast_df_max=0))
+        assert "BroadcastHashJoin" not in above.split("Exchange", 1)[0] or True
+        # the df-marginal joins specifically must not be broadcast: only the
+        # 1-row n_corpus cross join may remain a broadcast nested loop
+        assert above.count("BroadcastHashJoin") == 0, above
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_all()
+
+
+def test_boilerplate_hot_broadcast_is_census_gated(spark):
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.curation import boilerplate_stats
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+        + [(100 + i, f"unique text number {i} with words {i*7}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        below = _plan(boilerplate_stats(docs))
+        assert "BroadcastHashJoin" in below, below
+        above = _plan(boilerplate_stats(docs, broadcast_hot_max=0))
+        assert "BroadcastHashJoin" not in above, above
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        release_all()
