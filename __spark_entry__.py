@@ -1346,9 +1346,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "entity_disambiguation": f"""
             WITH {mentions_cte.strip()},
+            -- CJK-aware context tokenization (mirrors disambiguate_mentions):
+            -- fence every non-ascii-alnum, non-space char in spaces, then
+            -- split; whitespace class spelled out (RE2 vs Java \\s differ)
             toks AS (
                 SELECT DISTINCT doc_id,
-                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+                       unnest(string_split_regex(
+                           regexp_replace(lower(text),
+                               '([^A-Za-z0-9 \t\n\r\f])', ' \\1 ', 'g'),
+                           '[ \t\n\r\f]+')) AS term
                 FROM documents
             ),
             prof(entity_id, term) AS (VALUES {", ".join(f"('{e}', '{t}')" for e, t in ENTITY_PROFILES)}),
