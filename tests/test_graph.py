@@ -174,3 +174,42 @@ def test_pmi_per_doc_fanout_cap_excludes_pathological_doc(spark):
         assert exact == capped
     finally:
         release_all()
+
+
+def test_triangle_counts_random_graph_vs_bruteforce(spark):
+    """Degree-oriented wedge join == brute-force triangle enumeration on a
+    randomized 40-node graph (orientation order is (degree, id) — a plain
+    id-order wedge predicate would miss triangles whose closing edge runs
+    against it)."""
+    import itertools
+    import random
+
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = set()
+    while len(edges) < 160:
+        u, v = rng.sample(nodes, 2)
+        edges.add((u, v))
+    tr = spark.createDataFrame(
+        [(u, "r", v) for u, v in edges], "subj string, pred string, obj string"
+    )
+    try:
+        got = {r["entity"]: r["triangles"] for r in triangle_counts(tr).collect()}
+    finally:
+        release_all()
+    adj = {}
+    for e in {frozenset(e) for e in edges}:
+        u, v = tuple(e)
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {n: 0 for n in adj}
+    for a, b, c in itertools.combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert got == expect
+    assert sum(expect.values()) > 0  # the graph actually has triangles
