@@ -549,3 +549,63 @@ def test_chunk_documents_hand_computed_and_reconstruction(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_containment_is_directional(spark):
+    """A fragment wholly inside a longer doc has containment 1.0 in the
+    fragment→source direction and a LOW score the other way — the
+    sub-document duplication case symmetric Jaccard cannot flag."""
+    long_text = " ".join(f"w{i}" for i in range(40))
+    frag = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, frag), (3, "entirely different words here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(docs, 0.9).collect()
+    }
+    assert got == {(2, 1): 1.0}  # fragment→source only; source→fragment ~0.2
+    # and Jaccard at the same threshold sees nothing
+    assert dd.ngram_jaccard_pairs(docs, 0.9).count() == 0
+
+
+def test_capped_containment_matches_exact(spark):
+    """The directional no-false-prune bound (n_inter ≥ τ·min(n_a, n_b)):
+    capped ⊆ exact with identical scores on randomized corpora, and equal
+    on testdata where no qualifying pair is hot-only."""
+    import random
+
+    rnd = random.Random(20260817)
+    vocab = [f"w{i}" for i in range(12)] + ["the", "of", "and"]
+    for trial in range(6):
+        docs_py = []
+        for i in range(14):
+            words = [rnd.choice(vocab) for _ in range(rnd.randint(0, 9))]
+            docs_py.append((i, " ".join(words)))
+        docs_py.append((100, docs_py[0][1]))
+        docs_py.append((101, " ".join(docs_py[1][1].split(" ")[:5])))
+        docs = spark.createDataFrame(docs_py, "doc_id long, text string")
+        cap = rnd.choice([1, 2, 3, 5])
+        thr = rnd.choice([0.5, 0.9])
+        exact = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dd.containment_pairs(docs, thr).collect()
+        }
+        capped = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in dd.containment_pairs(docs, thr, max_shingle_df=cap).collect()
+        }
+        assert set(capped) <= set(exact), (trial, cap, thr)
+        assert all(capped[k] == exact[k] for k in capped), (trial, cap, thr)
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(docs, 0.9).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(docs, 0.9, max_shingle_df=20).collect()
+    }
+    assert capped == exact
