@@ -272,3 +272,84 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
         .fillna(0, subset=["triangles"])
         .select("entity", F.col("triangles").cast("long").alias("triangles"))
     )
+
+
+# wedge-center degree cap for 2-hop relatedness: a crawl-scale hub entity
+# (mentioned on every page) contributes deg² wedge pairs while carrying no
+# relatedness signal — every entity shares it. Standard link-prediction
+# practice drops ultra-hubs from the common-neighbor evidence (they inflate
+# every pair equally); the cap bounds the self-join fan-out to O(cap²) per
+# center. Testdata degrees are far below the default, so cap ≡ exact there.
+RELATED_MAX_CENTER_DEGREE = 10_000
+
+
+def related_entities(
+    triples: DataFrame,
+    max_center_degree: int = RELATED_MAX_CENTER_DEGREE,
+) -> DataFrame:
+    """(entity_a, entity_b, common_nbrs, nbr_jaccard, linked) — 2-hop
+    structural relatedness over the undirected KG: for every entity pair
+    sharing ≥1 neighbor, the common-neighbor count, the Jaccard of their
+    neighbor sets, and whether they are already directly linked. High
+    ``nbr_jaccard`` with ``linked = false`` is the classic link-prediction
+    / duplicate-entity-candidate signal (two surface forms of one
+    real-world entity co-occur with the same neighborhood but rarely with
+    each other) feeding canonicalization.
+
+    Scale shape: pairs are generated by a self-join on the shared neighbor
+    (the wedge center), so only pairs with actual common evidence ever
+    materialize — never an all-pairs join; centers above
+    ``max_center_degree`` are excluded from evidence (see the cap's
+    rationale above). Neighbor-set sizes ride one map-side-combined
+    aggregate; the direct-link flag is a left join against the edge set."""
+    und = cached(
+        triples.select(
+            F.least("subj", "obj").alias("u"), F.greatest("subj", "obj").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    adj = cached(
+        und.select(F.col("u").alias("ctr"), F.col("v").alias("nbr")).unionAll(
+            und.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
+        )
+    )
+    nbr_sizes = adj.groupBy(F.col("nbr").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_nbrs")
+    )
+    ctr_deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("cdeg"))
+    ev = adj.join(
+        ctr_deg.where(F.col("cdeg") <= max_center_degree).select("ctr"),
+        "ctr",
+        "left_semi",
+    )
+    w1 = ev.select("ctr", F.col("nbr").alias("entity_a"))
+    w2 = ev.select("ctr", F.col("nbr").alias("entity_b"))
+    common = (
+        w1.join(w2, "ctr")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count(F.lit(1)).alias("common_nbrs"))
+    )
+    na = nbr_sizes.select(F.col("entity").alias("entity_a"), F.col("n_nbrs").alias("n_a"))
+    nb = nbr_sizes.select(F.col("entity").alias("entity_b"), F.col("n_nbrs").alias("n_b"))
+    edge_flag = und.select(
+        F.col("u").alias("entity_a"), F.col("v").alias("entity_b"), F.lit(True).alias("linked")
+    )
+    return (
+        common.join(na, "entity_a")
+        .join(nb, "entity_b")
+        .join(edge_flag, ["entity_a", "entity_b"], "left")
+        .fillna(False, subset=["linked"])
+        .select(
+            "entity_a",
+            "entity_b",
+            F.col("common_nbrs").cast("long").alias("common_nbrs"),
+            F.round(
+                F.col("common_nbrs")
+                / (F.col("n_a") + F.col("n_b") - F.col("common_nbrs")),
+                4,
+            ).alias("nbr_jaccard"),
+            "linked",
+        )
+    )

@@ -213,3 +213,35 @@ def test_triangle_counts_random_graph_vs_bruteforce(spark):
             expect[c] += 1
     assert got == expect
     assert sum(expect.values()) > 0  # the graph actually has triangles
+
+
+def test_related_entities_hand_computed_and_hub_cap(spark):
+    """Path graph a-b-c-d plus hub h linked to everything: (a, c) share b;
+    with the hub capped out, hub-mediated evidence disappears but direct
+    neighbor sets (sizes, linked flag) stay exact."""
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.graph import related_entities
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    hub = [("h", x) for x in ("a", "b", "c", "d")]
+    tr = spark.createDataFrame(
+        [(u, "r", v) for u, v in edges + hub], "subj string, pred string, obj string"
+    )
+    try:
+        full = {
+            (r["entity_a"], r["entity_b"]): (r["common_nbrs"], r["linked"])
+            for r in related_entities(tr).collect()
+        }
+        # a-c share b AND h (common 2, not linked); a-d share only h
+        assert full[("a", "c")] == (2, False)
+        assert full[("a", "d")] == (1, False)
+        assert full[("b", "c")][1] is True  # direct edge flagged
+        # cap excludes the degree-4 hub as evidence: a-d vanish, a-c keep b
+        capped = {
+            (r["entity_a"], r["entity_b"]): (r["common_nbrs"], r["linked"])
+            for r in related_entities(tr, max_center_degree=3).collect()
+        }
+        assert capped[("a", "c")] == (1, False)
+        assert ("a", "d") not in capped
+    finally:
+        release_all()
