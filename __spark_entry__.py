@@ -467,6 +467,17 @@ CURATE_LANGS = ("en", "de", "fr")
 CURATE_QUALITY_FLOOR = 0.5
 
 
+def q_doc_quality_adaptive(spark, sf_dir):
+    """Per-language adaptive quality floor (exact rank-based lower quartile,
+    deterministic ties) — un-biases the English-centric global floor; floors
+    are a broadcast 1-row-per-language dim."""
+    from entity_extractor_by_pointer_spark.operators.curation import (
+        adaptive_quality_flags,
+    )
+
+    return adaptive_quality_flags(_t(spark, sf_dir, "documents"))
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composite curation verdict per document (exact_dup > lang > quality >
     kept) — the end-product filter of a training-data pipeline, one narrow
@@ -1098,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
         "doc_containment": q_doc_containment,
+        "doc_quality_adaptive": q_doc_quality_adaptive,
         "entity_disambiguation": q_entity_disambiguation,
         "doc_chunks": q_doc_chunks,
         # training-data pipeline
@@ -1109,12 +1121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ivf_kmeans_train": q_ivf_kmeans_train,
-        "multimodal_features": q_multimodal_features,
         # relational core
         "q1_pricing_summary": q1_pricing_summary,
         "join_broadcast": q_join_broadcast,
         # ---- tail: family variants, ALL driver-green in CORRECTNESS_r03
         # (rotated out of the prefix to make room — see docstring)
+        "multimodal_features": q_multimodal_features,
         "join_shuffle_revenue": q_join_shuffle_revenue,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
@@ -2069,6 +2081,26 @@ def _textstat_oracles() -> dict[str, str]:
             SELECT doc_id, {case} AS pred_lang FROM h
         """,
         "doc_quality": quality,
+        "doc_quality_adaptive": f"""
+            WITH q AS (
+                SELECT qq.doc_id, d.lang, qq.quality
+                FROM ({quality}) qq JOIN documents d USING (doc_id)
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY quality, doc_id) AS rk,
+                       count(*) OVER (PARTITION BY lang) AS n
+                FROM q
+            ),
+            floors AS (
+                SELECT lang, quality AS q_floor FROM ranked
+                WHERE rk = greatest(CAST(ceil(0.25 * n) AS BIGINT), 1)
+            )
+            SELECT q.doc_id, q.lang, q.quality, f.q_floor,
+                   q.quality >= f.q_floor AS keep
+            FROM q JOIN floors f USING (lang)
+        """,
         "corpus_curation": f"""
             WITH fp AS (SELECT doc_id, {norm_fp} AS f FROM documents),
             keep AS (SELECT f, min(doc_id) AS keep_id FROM fp GROUP BY f),

@@ -56,7 +56,10 @@ HEADLINE = [
     "top_terms_tfidf",
     "corpus_curation",
     "doc_winnow_fingerprint",
+    "doc_containment",
     "graph_pagerank",
+    "graph_triangles",
+    "graph_related",
     "multimodal_features",
     "doc_quality",
     "doc_lang_id",

@@ -124,3 +124,54 @@ def boilerplate_stats(
             .alias("boiler_ratio"),
         )
     )
+
+
+ADAPTIVE_QUALITY_PCT = 0.25
+
+
+def adaptive_quality_flags(
+    docs: DataFrame,
+    pct: float = ADAPTIVE_QUALITY_PCT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, lang, quality, q_floor, keep) — per-LANGUAGE adaptive
+    quality filtering: a single global floor (``curate_corpus``) is biased
+    against languages the heuristic scores systematically lower (the
+    stopword term is English-centric), so each language gets its own floor:
+    the quality value at deterministic rank ``max(ceil(pct·n), 1)`` in
+    ascending (quality, doc_id) order — i.e. the exact lower ``pct``
+    quantile with integer-rank tie-breaks that hash identically across
+    engines. ``keep = quality ≥ q_floor`` drops just under ``pct`` of each
+    language's docs (ties at the floor survive).
+
+    Scale shape: the exact rank needs one per-language sort (window) — fine
+    into the billions per language, and the floors themselves are one row
+    per language. At full crawl scale, calibrate the SAME floors on a
+    deterministic ``hash_split`` sample and broadcast them; the operator's
+    join shape is unchanged (floors are always a tiny dim table)."""
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col),
+        F.col(lang_col).alias("lang"),
+        quality_score(F.col(text_col)).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", id_col)
+    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    )
+    floors = ranked.where(
+        F.col("rk") == F.greatest(F.ceil(F.lit(pct) * F.col("n")), F.lit(1))
+    ).select("lang", F.col("quality").alias("q_floor"))
+    return (
+        scored.join(F.broadcast(floors), "lang")
+        .select(
+            id_col,
+            "lang",
+            "quality",
+            "q_floor",
+            (F.col("quality") >= F.col("q_floor")).alias("keep"),
+        )
+    )

@@ -609,3 +609,31 @@ def test_capped_containment_matches_exact(spark):
         for r in dd.containment_pairs(docs, 0.9, max_shingle_df=20).collect()
     }
     assert capped == exact
+
+
+def test_adaptive_quality_flags_per_language_floor(spark):
+    """Each language's floor is the quality at rank ceil(0.25*n) in
+    (quality, doc_id) order; keep = quality >= own-language floor — a doc
+    that fails the global floor can survive under its language's floor."""
+    from entity_extractor_by_pointer_spark.operators.curation import (
+        adaptive_quality_flags,
+    )
+
+    good_en = "the cat and the dog was in the house of the king " * 8
+    rows = (
+        [(i, good_en, "en") for i in range(6)]
+        + [(10, "x!!! ??? !!!", "en")]                      # en low outlier
+        + [(20 + i, "word " * (4 + i), "de") for i in range(4)]  # de: low abs scores
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in adaptive_quality_flags(docs, pct=0.25).collect()}
+    # en: n=7 → floor at rank 2 ascending → the single outlier (rank 1) drops
+    assert out[10]["keep"] is False
+    assert all(out[i]["keep"] for i in range(6))
+    # de: n=4 → floor at rank 1 → EVERY de doc keeps, though the global 0.5
+    # floor would reject the shortest ones (language-relative un-bias)
+    de = [out[20 + i] for i in range(4)]
+    assert all(r["keep"] for r in de)
+    assert any(r["quality"] < 0.5 for r in de)
+    # floors are per-language constants
+    assert len({r["q_floor"] for r in de}) == 1
