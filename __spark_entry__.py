@@ -292,6 +292,23 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+PPR_SEEDS = ("ORG_SPARK",)
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from the ORG_SPARK seed — proximity-to-seed
+    ranking over the KG; same 1-exchange-per-iteration loop as global
+    PageRank, only the teleport literals differ."""
+    from entity_extractor_by_pointer_spark.operators.graph import pagerank
+
+    return pagerank(
+        _doc_triples(spark, sf_dir),
+        iterations=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+        seeds=PPR_SEEDS,
+    )
+
+
 def q_graph_triangles(spark, sf_dir):
     """Per-entity triangle participation over the undirected KG edge set —
     degree-oriented wedge join (compact-forward), the O(m^{3/2})-bounded
@@ -1105,6 +1122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf_nprobe2": q_ann_topk_ivf_nprobe2,
         "graph_triangles": q_graph_triangles,
         "graph_related": q_graph_related,
+        "graph_ppr": q_graph_ppr,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
@@ -1122,10 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ivf_kmeans_train": q_ivf_kmeans_train,
         # relational core
-        "q1_pricing_summary": q1_pricing_summary,
         "join_broadcast": q_join_broadcast,
         # ---- tail: family variants, ALL driver-green in CORRECTNESS_r03
         # (rotated out of the prefix to make room — see docstring)
+        "q1_pricing_summary": q1_pricing_summary,
         "multimodal_features": q_multimodal_features,
         "join_shuffle_revenue": q_join_shuffle_revenue,
         "semi_join": q_semi_join,
@@ -1162,13 +1180,29 @@ def _triples_edges_cte(canon: str, pred_case: str) -> str:
             )"""
 
 
-def _pagerank_unrolled_sql(mentions_cte: str, canon: str, pred_case: str) -> str:
+def _pagerank_unrolled_sql(
+    mentions_cte: str,
+    canon: str,
+    pred_case: str,
+    seeds: tuple[str, ...] | None = None,
+) -> str:
     """Fixed-iteration PageRank as chained CTEs (recursive CTEs can't
     aggregate in the recursive term, so the iterations are unrolled —
     bit-faithful mirror of the Spark loop up to sum order, absorbed by the
-    final round(6))."""
-    base_lit = repr(1.0 - PAGERANK_DAMPING)  # same double as the python loop
+    final round(6)). ``seeds`` mirrors the personalized variant: teleport
+    literals baked as Python-double reprs, exactly the values the Spark
+    loop embeds."""
     d = PAGERANK_DAMPING
+    if seeds is None:
+        base_expr = f"({repr(1.0 - d)} / cnt.n)"
+        r0_expr = "1.0 / cnt.n"
+    else:
+        in_s = "n.entity IN (" + ", ".join(f"'{s}'" for s in seeds) + ")"
+        base_expr = (
+            f"CASE WHEN {in_s} THEN {repr((1.0 - d) / len(seeds))} ELSE 0.0 END"
+        )
+        r0_in = "entity IN (" + ", ".join(f"'{s}'" for s in seeds) + ")"
+        r0_expr = f"CASE WHEN {r0_in} THEN {repr(1.0 / len(seeds))} ELSE 0.0 END"
     iters = []
     for t in range(PAGERANK_ITERS):
         prev = f"r{t}"
@@ -1181,7 +1215,7 @@ def _pagerank_unrolled_sql(mentions_cte: str, canon: str, pred_case: str) -> str
             ),
             r{t + 1} AS (
                 SELECT n.entity,
-                       ({base_lit} / cnt.n) + {d} * coalesce(c.inflow, 0.0) AS rank
+                       {base_expr} + {d} * coalesce(c.inflow, 0.0) AS rank
                 FROM nodes n LEFT JOIN c{t + 1} c USING (entity), cnt
             )"""
         )
@@ -1192,7 +1226,7 @@ def _pagerank_unrolled_sql(mentions_cte: str, canon: str, pred_case: str) -> str
             nodes AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
             outd AS (SELECT subj AS entity, count(*) AS out_deg FROM tr GROUP BY 1),
             cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
-            r0 AS (SELECT entity, 1.0 / cnt.n AS rank FROM nodes, cnt),
+            r0 AS (SELECT entity, {r0_expr} AS rank FROM nodes, cnt),
             {chain}
             SELECT entity, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
         """
@@ -1488,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN outd USING (entity) LEFT JOIN ind USING (entity)
         """,
         "graph_pagerank": _pagerank_unrolled_sql(mentions_cte, canon, pred_case),
+        "graph_ppr": _pagerank_unrolled_sql(
+            mentions_cte, canon, pred_case, seeds=PPR_SEEDS
+        ),
         "graph_related": f"""
             WITH {mentions_cte.strip()},
             {_triples_edges_cte(canon, pred_case)},

@@ -46,10 +46,18 @@ def pagerank(
     iterations: int = 5,
     damping: float = 0.85,
     checkpoint_every: int = 3,
+    seeds: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """(entity, rank) after ``iterations`` damped PageRank steps.
 
     rank₀ = 1/N; rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u).
+
+    ``seeds`` switches to PERSONALIZED PageRank: the teleport mass lands
+    only on the seed set (rank₀ = 1[v∈S]/|S|, base term (1−d)/|S| on seeds,
+    0 elsewhere), so ranks measure proximity to the seeds — the "entities
+    related to X" ranking a global PageRank can't provide. Identical loop
+    and shuffle shape; only the two literals change (both baked as Python
+    doubles so the SQL oracle mirrors them bit-for-bit).
 
     Shuffle shape (round-3 judge item — reuse the edge exchange across
     iterations): out-degree is attached ONCE, via a count window over the
@@ -81,8 +89,16 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
+    if seeds is None:
+        r0 = F.lit(1.0 / n)
+        base_col = F.lit((1.0 - damping) / n)
+    else:
+        in_s = F.col("entity").isin(*seeds)
+        r0 = F.when(in_s, F.lit(1.0 / len(seeds))).otherwise(F.lit(0.0))
+        base_col = F.when(in_s, F.lit((1.0 - damping) / len(seeds))).otherwise(
+            F.lit(0.0)
+        )
+    ranks = nodes.withColumn("rank", r0)
     for it in range(iterations):
         contribs = (
             edges_w.join(ranks, edges_w["subj"] == ranks["entity"])
@@ -98,7 +114,7 @@ def pagerank(
             .fillna(0.0, subset=["inflow"])
             .select(
                 "entity",
-                (F.lit(base) + F.lit(damping) * F.col("inflow")).alias("rank"),
+                (base_col + F.lit(damping) * F.col("inflow")).alias("rank"),
             )
         )
         if (it + 1) % checkpoint_every == 0:
