@@ -484,6 +484,18 @@ CURATE_LANGS = ("en", "de", "fr")
 CURATE_QUALITY_FLOOR = 0.5
 
 
+def q_vocab_edit_pairs(spark, sf_dir):
+    """Typo/variant mining over the corpus vocabulary: term pairs within
+    Levenshtein distance 2, candidates via SymSpell deletion-signature
+    blocking (pure Catalyst, never O(V²)); the oracle brute-forces V² —
+    a green row proves blocking+verify ≡ exhaustive."""
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        vocab_edit_pairs,
+    )
+
+    return vocab_edit_pairs(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_quality_adaptive(spark, sf_dir):
     """Per-language adaptive quality floor (exact rank-based lower quartile,
     deterministic ties) — un-biases the English-centric global floor; floors
@@ -1128,11 +1140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_est": q_dedup_minhash_est,
         "doc_containment": q_doc_containment,
         "doc_quality_adaptive": q_doc_quality_adaptive,
+        "vocab_edit_pairs": q_vocab_edit_pairs,
         "entity_disambiguation": q_entity_disambiguation,
         "doc_chunks": q_doc_chunks,
         # training-data pipeline
         "corpus_curation": q_corpus_curation,
-        "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1143,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast": q_join_broadcast,
         # ---- tail: family variants, ALL driver-green in CORRECTNESS_r03
         # (rotated out of the prefix to make room — see docstring)
+        "dedup_exact": q_dedup_exact,
         "q1_pricing_summary": q1_pricing_summary,
         "multimodal_features": q_multimodal_features,
         "join_shuffle_revenue": q_join_shuffle_revenue,
@@ -2118,6 +2131,19 @@ def _textstat_oracles() -> dict[str, str]:
             SELECT doc_id, {case} AS pred_lang FROM h
         """,
         "doc_quality": quality,
+        "vocab_edit_pairs": f"""
+            WITH v AS (
+                SELECT term, count(*) AS df FROM (
+                    SELECT unnest(string_split({_NORM_SQL}, ' ')) AS term
+                    FROM documents
+                ) WHERE term != '' GROUP BY 1
+            )
+            SELECT a.term AS term_a, b.term AS term_b,
+                   levenshtein(a.term, b.term)::INT AS dist,
+                   a.df::BIGINT AS df_a, b.df::BIGINT AS df_b
+            FROM v a JOIN v b ON a.term < b.term
+            WHERE levenshtein(a.term, b.term) <= 2
+        """,
         "doc_quality_adaptive": f"""
             WITH q AS (
                 SELECT qq.doc_id, d.lang, qq.quality

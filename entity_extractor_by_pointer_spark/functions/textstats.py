@@ -195,3 +195,78 @@ def chunk_documents(
             " ", F.slice("_w", F.col("chunk_id") * F.lit(stride) + 1, chunk_tokens)
         ).alias("chunk_text"),
     )
+
+
+def vocab_edit_pairs(
+    docs,
+    max_dist: int = 2,
+    text_col: str = "text",
+):
+    """(term_a, term_b, dist, df_a, df_b) — corpus-vocabulary term pairs
+    within Levenshtein distance ``max_dist`` (1 or 2), with document-
+    frequency marginals: the typo/variant-mining primitive behind alias
+    discovery and OCR/typo normalization (a low-df term within distance 1-2
+    of a high-df term is a correction candidate; a pair of comparable df is
+    a spelling variant worth an alias edge).
+
+    Scale shape — SymSpell deletion-signature blocking, pure Catalyst: each
+    term emits its deletion neighborhood (the term, every 1-deletion, and —
+    at ``max_dist=2`` — every 2-deletion; ≤ 1+L+L² short strings per term,
+    generated with ``transform``/``sequence`` expressions, no UDF).
+    Candidate pairs come from an equi-join on shared signatures — two terms
+    within edit distance d ALWAYS share a ≤d-deletion signature
+    (deletion-neighborhood completeness, SymSpell's guarantee for
+    insert/delete/substitute edits), so the exact ``levenshtein`` verify
+    never misses a pair while the join never goes O(V²). The oracle
+    brute-forces V² on the small test vocabulary — proving blocking+verify
+    ≡ exhaustive."""
+    from pyspark.sql import functions as F  # local: keep module header lean
+
+    vocab = (
+        docs.select(F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    dels1 = (
+        "transform(sequence(1, length(term)),"
+        " i -> concat(substring(term, 1, i-1),"
+        " substring(term, i+1, length(term))))"
+    )
+    if max_dist == 1:
+        sigs = f"array_distinct(concat(array(term), {dels1}))"
+    elif max_dist == 2:
+        dels2 = (
+            f"flatten(transform({dels1},"
+            " x -> transform(sequence(1, length(x)),"
+            " j -> concat(substring(x, 1, j-1), substring(x, j+1, length(x))))))"
+        )
+        sigs = f"array_distinct(concat(array(term), {dels1}, {dels2}))"
+    else:
+        raise ValueError("max_dist must be 1 or 2")
+    sig_rows = vocab.select(
+        "term", "df", F.explode(F.expr(sigs)).alias("sig")
+    )
+    a = sig_rows.select(
+        F.col("sig"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = sig_rows.select(
+        F.col("sig"), F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    cand = (
+        a.join(b, "sig")
+        .where(F.col("term_a") < F.col("term_b"))
+        .select("term_a", "term_b", "df_a", "df_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("term_a", "term_b"))
+        .where(F.col("dist") <= max_dist)
+        .select(
+            "term_a",
+            "term_b",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("df_a").cast("long").alias("df_a"),
+            F.col("df_b").cast("long").alias("df_b"),
+        )
+    )

@@ -637,3 +637,44 @@ def test_adaptive_quality_flags_per_language_floor(spark):
     assert any(r["quality"] < 0.5 for r in de)
     # floors are per-language constants
     assert len({r["q_floor"] for r in de}) == 1
+
+
+def test_vocab_edit_pairs_blocking_is_exhaustive(spark):
+    """SymSpell deletion-signature blocking + levenshtein verify must equal
+    brute-force O(V^2) enumeration on a randomized vocabulary, at both
+    max_dist=1 and 2 (deletion-neighborhood completeness)."""
+    import itertools
+    import random
+
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        vocab_edit_pairs,
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    rng = random.Random(99)
+    base = ["spark", "spork", "sprk", "sparks", "stark", "query", "queue",
+            "quary", "jon", "join", "joins", "a", "b", "ab", "merge", "marge"]
+    words = base + ["".join(rng.choice("abcde") for _ in range(rng.randint(1, 6))) for _ in range(20)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rng.sample(words, 5))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    vocab = sorted({w for r in docs.collect() for w in r["text"].split()})
+    for md in (1, 2):
+        got = {
+            (r["term_a"], r["term_b"]): r["dist"]
+            for r in vocab_edit_pairs(docs, max_dist=md).collect()
+        }
+        expect = {
+            (a, b): lev(a, b)
+            for a, b in itertools.combinations(vocab, 2)
+            if lev(a, b) <= md
+        }
+        assert got == expect, md
