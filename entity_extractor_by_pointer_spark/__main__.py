@@ -43,6 +43,12 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="parameter census (reference main.py:76-81 show_model_info)",
     )
+    parser.add_argument(
+        "--graph-stats",
+        action="store_true",
+        help="graph analytics over an existing --workdir's triples stage: "
+        "top entities by PageRank, degree census, triangle counts",
+    )
     args = parser.parse_args(argv)
     if args.show_model_info:
         from .functions.model import NerConfig, PointerNerModel
@@ -64,10 +70,34 @@ def main(argv: list[str] | None = None) -> int:
         for cls, surfaces in PointerNerModel(cfg).predict_one(args.predict_text).items():
             print(f"{cls}: {surfaces}")
         return 0
+    if args.graph_stats:
+        if not args.workdir:
+            parser.error("--graph-stats needs --workdir of a completed run")
+        from .operators.graph import entity_degrees, pagerank, triangle_counts
+        from .plans.lineage import StageWriter
+        from .session import get_spark as _get_spark
+
+        spark = _get_spark(app_name="kg-graph-stats", master=args.master)
+        writer = StageWriter(spark, args.workdir, args.run_id or "graph-stats")
+        triples = writer.read_stage("triples").drop("subj_bucket")
+        print("top entities by pagerank:")
+        for r in pagerank(triples).orderBy("rank", ascending=False).limit(10).collect():
+            print(f"  {r['entity']}: {r['rank']:.6f}")
+        print("degree census:")
+        for r in entity_degrees(triples).orderBy("degree", ascending=False).limit(10).collect():
+            print(f"  {r['entity']}: out={r['out_deg']} in={r['in_deg']} total={r['degree']}")
+        print("triangle counts:")
+        for r in triangle_counts(triples).orderBy("triangles", ascending=False).limit(10).collect():
+            print(f"  {r['entity']}: {r['triangles']}")
+        from .cache import release_all
+
+        release_all()
+        return 0
+
     if not args.pages_parquet and not args.synth_pages and not args.eval_json:
         parser.error(
             "one of --pages-parquet / --synth-pages / --eval-json / "
-            "--predict-text / --show-model-info is required"
+            "--predict-text / --show-model-info / --graph-stats is required"
         )
 
     from .plans.pipeline import KgPipeline, PipelineConfig

@@ -355,3 +355,19 @@ def test_expire_compaction_crash_recovery(spark, tmp_path):
     assert got == sorted(
         tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
     )
+
+
+def test_cli_graph_stats_over_completed_run(spark, tmp_path, capsys):
+    """--graph-stats reads an existing workdir's triples stage and prints
+    pagerank / degree / triangle summaries (KG queryable from the CLI)."""
+    from entity_extractor_by_pointer_spark.__main__ import main
+
+    wd = str(tmp_path / "cli_gs")
+    KgPipeline(spark, wd, "cli").run(generate_pages(spark, 60, partitions=2))
+    rc = main(["--graph-stats", "--workdir", wd])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "top entities by pagerank:" in out
+    assert "degree census:" in out
+    assert "triangle counts:" in out
+    assert "ORG_" in out or "LOC_" in out or "PER_" in out
