@@ -93,25 +93,26 @@ def disambiguate_mentions(
     (doc, entity, partial-count) rows for MATCHING tokens, never the corpus
     text. Candidates and profiles are broadcast; the winner is a
     map-side-combinable struct-max aggregate, not a window sort."""
-    toks = (
-        docs.select(
-            F.col(id_col),
-            F.explode(
-                F.split(
-                    F.regexp_replace(
-                        F.lower(F.col(text_col)),
-                        "([^A-Za-z0-9 \t\n\r\f])",
-                        " $1 ",
-                    ),
-                    "[ \t\n\r\f]+",
-                )
-            ).alias("term"),
-        )
-        .where(F.col("term") != "")
-        .dropDuplicates([id_col, "term"])
-    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.regexp_replace(
+                    F.lower(F.col(text_col)),
+                    "([^A-Za-z0-9 \t\n\r\f])",
+                    " $1 ",
+                ),
+                "[ \t\n\r\f]+",
+            )
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    # broadcast-filter BEFORE the distinct: the dedup shuffle then carries
+    # only PROFILE-MATCHING (doc, term, entity) rows, never the corpus's
+    # full token stream (with CJK-per-char tokenization the raw token count
+    # is ~doc length — deduping it first would shuffle the whole corpus)
     affinity = (
         toks.join(F.broadcast(profiles), "term")
+        .dropDuplicates([id_col, "term", "entity_id"])
         .groupBy(id_col, "entity_id")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
