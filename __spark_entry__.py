@@ -292,6 +292,22 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """Evidence-weighted PageRank: edge weight = number of supporting
+    documents (summed over predicates), so well-attested relations carry
+    more rank than single-page co-occurrences. Same 1-exchange loop — only
+    the out-degree window becomes an out-weight sum."""
+    from entity_extractor_by_pointer_spark.operators.graph import pagerank
+    from entity_extractor_by_pointer_spark.operators.triples import triple_counts
+
+    return pagerank(
+        triple_counts(_doc_triples(spark, sf_dir)),
+        iterations=PAGERANK_ITERS,
+        damping=PAGERANK_DAMPING,
+        weight_col="n_docs",
+    )
+
+
 PPR_SEEDS = ("ORG_SPARK",)
 
 
@@ -1135,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "graph_related": q_graph_related,
         "graph_ppr": q_graph_ppr,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
@@ -1151,10 +1168,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_cc": q_dedup_clusters_cc,
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ivf_kmeans_train": q_ivf_kmeans_train,
-        # relational core
-        "join_broadcast": q_join_broadcast,
         # ---- tail: family variants, ALL driver-green in CORRECTNESS_r03
         # (rotated out of the prefix to make room — see docstring)
+        "join_broadcast": q_join_broadcast,
         "dedup_exact": q_dedup_exact,
         "q1_pricing_summary": q1_pricing_summary,
         "multimodal_features": q_multimodal_features,
@@ -1198,6 +1214,7 @@ def _pagerank_unrolled_sql(
     canon: str,
     pred_case: str,
     seeds: tuple[str, ...] | None = None,
+    weighted: bool = False,
 ) -> str:
     """Fixed-iteration PageRank as chained CTEs (recursive CTEs can't
     aggregate in the recursive term, so the iterations are unrolled —
@@ -1216,14 +1233,34 @@ def _pagerank_unrolled_sql(
         )
         r0_in = "entity IN (" + ", ".join(f"'{s}'" for s in seeds) + ")"
         r0_expr = f"CASE WHEN {r0_in} THEN {repr(1.0 / len(seeds))} ELSE 0.0 END"
+    if weighted:
+        # edge weight = co-occurrence evidence count, summed over predicates
+        # (mirrors Spark's triple_counts -> groupBy(subj,obj).sum(n_docs))
+        edge_cte = """trw AS (
+                SELECT a.canon_id AS subj, b.canon_id AS obj, count(*) AS w
+                FROM cm a JOIN cm b ON a.doc_id = b.doc_id
+                 AND (a.first_pos < b.first_pos
+                      OR (a.first_pos = b.first_pos AND a.canon_id < b.canon_id))
+                GROUP BY 1, 2
+            )"""
+        out_cte = "outw AS (SELECT subj AS entity, sum(w) AS out_w FROM trw GROUP BY 1)"
+        node_cte = "nodes AS (SELECT subj AS entity FROM trw UNION SELECT obj FROM trw)"
+        contrib = "sum(r.rank * tr.w / od.out_w)"
+        edge_name, out_name = "trw", "outw"
+    else:
+        edge_cte = None
+        out_cte = "outd AS (SELECT subj AS entity, count(*) AS out_deg FROM tr GROUP BY 1)"
+        node_cte = "nodes AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr)"
+        contrib = "sum(r.rank / od.out_deg)"
+        edge_name, out_name = "tr", "outd"
     iters = []
     for t in range(PAGERANK_ITERS):
         prev = f"r{t}"
         iters.append(
             f"""c{t + 1} AS (
-                SELECT tr.obj AS entity, sum(r.rank / od.out_deg) AS inflow
-                FROM {prev} r JOIN outd od USING (entity)
-                JOIN tr ON tr.subj = r.entity
+                SELECT tr.obj AS entity, {contrib} AS inflow
+                FROM {prev} r JOIN {out_name} od USING (entity)
+                JOIN {edge_name} tr ON tr.subj = r.entity
                 GROUP BY 1
             ),
             r{t + 1} AS (
@@ -1233,11 +1270,12 @@ def _pagerank_unrolled_sql(
             )"""
         )
     chain = ",\n            ".join(iters)
+    extra = f"\n            {edge_cte}," if edge_cte else ""
     return f"""
             WITH {mentions_cte.strip()},
-            {_triples_edges_cte(canon, pred_case)},
-            nodes AS (SELECT subj AS entity FROM tr UNION SELECT obj FROM tr),
-            outd AS (SELECT subj AS entity, count(*) AS out_deg FROM tr GROUP BY 1),
+            {_triples_edges_cte(canon, pred_case)},{extra}
+            {node_cte},
+            {out_cte},
             cnt AS (SELECT count(*)::DOUBLE AS n FROM nodes),
             r0 AS (SELECT entity, {r0_expr} AS rank FROM nodes, cnt),
             {chain}
@@ -1537,6 +1575,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank": _pagerank_unrolled_sql(mentions_cte, canon, pred_case),
         "graph_ppr": _pagerank_unrolled_sql(
             mentions_cte, canon, pred_case, seeds=PPR_SEEDS
+        ),
+        "graph_pagerank_weighted": _pagerank_unrolled_sql(
+            mentions_cte, canon, pred_case, weighted=True
         ),
         "graph_related": f"""
             WITH {mentions_cte.strip()},

@@ -294,3 +294,51 @@ def test_personalized_pagerank_vs_numpy(spark):
         assert abs(got[name] - round(r[i], 6)) <= 2e-6, name
     # teleport localization: seeds rank above the global-average mass
     assert got["n3"] > 1.0 / n and got["n7"] > 1.0 / n
+
+
+def test_weighted_pagerank_vs_numpy(spark):
+    """weight_col: rank flows proportional to summed edge weights — matches
+    numpy power iteration with a weighted transition matrix; weight 1
+    everywhere reduces to the unweighted variant exactly."""
+    import numpy as np
+
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.graph import pagerank
+
+    rows = [  # (subj, obj, w) with parallel edges pre-summed
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5), ("b", "a", 1),
+    ]
+    tr = spark.createDataFrame(
+        [(u, "r", v, w) for u, v, w in rows], "subj string, pred string, obj string, n_docs long"
+    )
+    try:
+        got = {
+            r["entity"]: r["rank"]
+            for r in pagerank(tr, iterations=5, weight_col="n_docs").collect()
+        }
+        uni_w = {
+            r["entity"]: r["rank"]
+            for r in pagerank(
+                tr.withColumn("n_docs", tr.n_docs * 0 + 1), iterations=5, weight_col="n_docs"
+            ).collect()
+        }
+        uni = {r["entity"]: r["rank"] for r in pagerank(tr, iterations=5).collect()}
+    finally:
+        release_all()
+    assert uni_w == uni  # weight-1 degenerates to the unweighted operator
+    idx = {"a": 0, "b": 1, "c": 2}
+    W = np.zeros((3, 3))
+    for u, v, w in rows:
+        W[idx[u], idx[v]] = w
+    outw = W.sum(axis=1)
+    d, n = 0.85, 3
+    r = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, (1 - d) / n)
+        for i in range(n):
+            for j in range(n):
+                if W[i, j]:
+                    nxt[j] += d * r[i] * W[i, j] / outw[i]
+        r = nxt
+    for name, i in idx.items():
+        assert abs(got[name] - round(r[i], 6)) <= 2e-6, name
