@@ -60,7 +60,6 @@ def pagerank(
     and shuffle shape; only the two literals change (both baked as Python
     doubles so the SQL oracle mirrors them bit-for-bit).
 
-    Shuffle shape (round-3 judge item — reuse the edge exchange across
     ``weight_col`` (a column of ``triples``, e.g. the ``n_docs`` evidence
     count from ``triple_counts``) switches to WEIGHTED PageRank: parallel
     (subj, obj) rows are first summed into one weighted edge, and rank
@@ -407,4 +406,68 @@ def related_entities(
             ).alias("nbr_jaccard"),
             "linked",
         )
+    )
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """(pred, n_triples, n_subj, n_obj, subj_fanout) — per-predicate
+    cardinality profile over the DISTINCT triple set: how many facts each
+    predicate carries, how many distinct subjects/objects it connects, and
+    the mean objects-per-subject ``subj_fanout`` (≈1 → functional
+    predicate, e.g. born_in; ≫1 → multi-valued, e.g. mentions). The
+    standard KG schema-induction census, and the signal for choosing
+    per-predicate join strategies.
+
+    Scale shape: one map-side-combined aggregation; two exact distinct
+    counts per predicate ride the same shuffle (predicates are few, so the
+    per-key state is trivial even at 10^12 triples)."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    return t.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subj"),
+        F.countDistinct("obj").alias("n_obj"),
+        F.round(F.count(F.lit(1)) / F.countDistinct("subj"), 4).alias("subj_fanout"),
+    )
+
+
+# mid-node degree cap for metapath counting: a hub entity fans a 2-hop
+# self-join out in-degree x out-degree — unbounded on a crawl. Same policy
+# as related_entities: ultra-hubs are excluded from the path evidence.
+METAPATH_MAX_MID_DEGREE = 10_000
+
+
+def metapath_counts(
+    triples: DataFrame,
+    max_mid_degree: int = METAPATH_MAX_MID_DEGREE,
+) -> DataFrame:
+    """(pred_a, pred_b, n_paths) — count of 2-hop path instances
+    a ─pred_a→ m ─pred_b→ c with a ≠ c, per ordered predicate pair. The
+    metapath census: which relation compositions actually occur (e.g.
+    affiliated_with ∘ based_in ≈ "person's employer's city"), the input to
+    rule mining / KG-completion candidates.
+
+    Scale shape: one self-join on the shared mid entity — the join key the
+    subject-hash-bucketed graph table is already partitioned by; mid nodes
+    above ``max_mid_degree`` (in+out) are excluded (hub wedge explosion,
+    see the cap's rationale). Inert on testdata; counted per ordered pair
+    map-side."""
+    t = cached(triples.select("subj", "pred", "obj").distinct())
+    deg = (
+        t.select(F.col("subj").alias("node"))
+        .unionAll(t.select(F.col("obj").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ok_mid = deg.where(F.col("d") <= max_mid_degree).select("node")
+    left = t.select(
+        F.col("subj").alias("a"), F.col("pred").alias("pred_a"), F.col("obj").alias("m")
+    ).join(ok_mid.withColumnRenamed("node", "m"), "m", "left_semi")
+    right = t.select(
+        F.col("subj").alias("m"), F.col("pred").alias("pred_b"), F.col("obj").alias("c")
+    )
+    return (
+        left.join(right, "m")
+        .where(F.col("a") != F.col("c"))
+        .groupBy("pred_a", "pred_b")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
     )

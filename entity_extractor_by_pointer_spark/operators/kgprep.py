@@ -1,0 +1,88 @@
+"""KG-embedding training preparation over the materialized triple table.
+
+The reference trains a span-pointer NER model; a KG built from its output
+feeds the NEXT model in the stack — TransE/RotatE-style embedding training —
+whose data prep is corruption-based negative sampling: for every true
+(subj, pred, obj) fact, emit k corrupted variants with the object replaced
+by a pseudo-random entity. This operator does that deterministically
+(hash-derived, no RNG state), so the sample is reproducible across runs,
+partitionings and engines — the same property ``hash_split`` gives dataset
+splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..cache import cached
+from ..functions.textstats import md5_int64
+
+
+def corrupt_triples(triples: DataFrame, k: int = 2) -> DataFrame:
+    """(subj, pred, obj, sample_idx, neg_obj, is_false_negative) — ``k``
+    deterministic object-corrupted negatives per distinct triple.
+
+    The replacement entity is chosen by indexing the sorted entity
+    vocabulary with ``md5(subj|pred|obj|i) mod V`` — uniform over entities,
+    reproducible, and SQL-mirrorable. Following standard practice the draw
+    is NOT resampled on collision; instead ``is_false_negative`` flags
+    draws that hit a true (subj, pred, neg_obj) fact (or the original
+    object itself), letting the training loop filter or down-weight them —
+    filtered sampling would need a variable number of re-draws per row,
+    which neither distributes nor mirrors cleanly.
+
+    Scale shape: the entity vocabulary gets a dense index from ONE global
+    sort (a row_number window over 1 row per entity — entities are ~10⁶ ×
+    smaller than triples); negatives join the vocabulary on the computed
+    index (hash equi-join) and the false-negative flag is a left join back
+    to the triple set on its natural key. Nothing fans out beyond k rows
+    per input triple."""
+    t = cached(triples.select("subj", "pred", "obj").distinct())
+    ents = (
+        t.select(F.col("subj").alias("entity"))
+        .unionAll(t.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    vocab = cached(
+        ents.withColumn(
+            "idx", F.row_number().over(Window.orderBy("entity")) - F.lit(1)
+        )
+    )
+    v = vocab.count()
+    drawn = t.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("sample_idx"),
+    ).withColumn(
+        "idx",
+        F.pmod(
+            md5_int64(
+                F.concat_ws("|", F.col("subj"), F.col("pred"), F.col("obj"), F.col("sample_idx"))
+            ),
+            F.lit(v),
+        ).cast("int"),
+    )
+    neg = drawn.join(
+        vocab.select("idx", F.col("entity").alias("neg_obj")), "idx"
+    ).drop("idx")
+    truth = t.select(
+        "subj", "pred", F.col("obj").alias("neg_obj"), F.lit(True).alias("_hit")
+    ).distinct()
+    return (
+        neg.join(truth, ["subj", "pred", "neg_obj"], "left")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.col("sample_idx").cast("int").alias("sample_idx"),
+            "neg_obj",
+            (
+                F.coalesce(F.col("_hit"), F.lit(False))
+                | (F.col("neg_obj") == F.col("obj"))
+            ).alias("is_false_negative"),
+        )
+    )
