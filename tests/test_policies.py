@@ -33,6 +33,7 @@ def test_no_collect_in_operator_hot_paths():
         "evaluate.py",  # final metrics rows
         "__main__.py",  # CLI result display (top-10 limit)
         "skew.py",  # hot-key detection collects a ≤top_k aggregate
+        "graph.py",  # PMI broadcast/fan-out census: one 2-row aggregate
     }
     bad = []
     for path in PKG.rglob("*.py"):
