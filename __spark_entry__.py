@@ -292,6 +292,19 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
+
+
+def q_table_profile(spark, sf_dir):
+    """One-pass data-quality profile of lineitem (nulls / exact distinct /
+    min / max per column, fused into a single aggregation job + stack
+    unpivot). Columns chosen for cross-engine-stable string rendering
+    (ints, varchars, timestamp — doubles format differently per engine)."""
+    from entity_extractor_by_pointer_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "lineitem"), list(PROFILE_COLS))
+
+
 def q_graph_pred_stats(spark, sf_dir):
     """Per-predicate cardinality profile (facts, distinct subjects/objects,
     mean fan-out) — the KG schema-induction census."""
@@ -1185,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pred_stats": q_graph_pred_stats,
         "graph_metapaths": q_graph_metapaths,
         "kg_negatives": q_kg_negatives,
+        "table_profile": q_table_profile,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
@@ -1624,6 +1638,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_pagerank_weighted": _pagerank_unrolled_sql(
             mentions_cte, canon, pred_case, weighted=True
+        ),
+        "table_profile": " UNION ALL ".join(
+            f"""
+            SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,
+                   count(CASE WHEN {c} IS NULL THEN 1 END)::BIGINT AS n_nulls,
+                   count(DISTINCT {c})::BIGINT AS n_distinct,
+                   min({c})::VARCHAR AS min_val, max({c})::VARCHAR AS max_val
+            FROM lineitem"""
+            for c in PROFILE_COLS
         ),
         "graph_pred_stats": f"""
             WITH {mentions_cte.strip()},

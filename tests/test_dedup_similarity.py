@@ -678,3 +678,23 @@ def test_vocab_edit_pairs_blocking_is_exhaustive(spark):
             if lev(a, b) <= md
         }
         assert got == expect, md
+
+
+def test_profile_table_one_pass_with_nulls(spark):
+    """Null counts, exact distincts, native-type min/max (a string cast
+    before min would order '10' < '9'); single aggregation job."""
+    from entity_extractor_by_pointer_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, 9, "x"), (2, 10, None), (3, None, "y"), (4, 10, "x")],
+        "id long, v int, s string",
+    )
+    got = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert got["v"]["n_nulls"] == 1 and got["v"]["n_distinct"] == 2
+    assert (got["v"]["min_val"], got["v"]["max_val"]) == ("9", "10")  # numeric order
+    assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
+    assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
+    # one aggregation job: the plan has a single pair of HashAggregates
+    # around one Exchange (plus the Expand the multi-distinct needs)
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
