@@ -292,6 +292,25 @@ def q_graph_pagerank(spark, sf_dir):
     )
 
 
+def q_entity_embeddings(spark, sf_dir):
+    """Average-of-contexts entity embeddings: per canonical entity the
+    per-dim mean of the embeddings of docs mentioning it — long-form
+    (canon_id, dim, val) rows; one doc-keyed join + one map-side-combined
+    mean."""
+    from entity_extractor_by_pointer_spark.operators.kgprep import (
+        entity_context_embeddings,
+    )
+
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, [(n, e) for n, _t2, e in DOCS_GAZETTEER])
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    edges = spark.createDataFrame(
+        [("ORG_VECTOR", "ORG_SPARK"), ("LOC_STREAM", "LOC_WINDOW")], "src string, dst string"
+    )
+    canon = canonicalize_entities(linked, edges)
+    return entity_context_embeddings(canon, _t(spark, sf_dir, "embeddings"))
+
+
 PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
 
 
@@ -1199,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_metapaths": q_graph_metapaths,
         "kg_negatives": q_kg_negatives,
         "table_profile": q_table_profile,
+        "entity_embeddings": q_entity_embeddings,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
@@ -1639,6 +1659,22 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_weighted": _pagerank_unrolled_sql(
             mentions_cte, canon, pred_case, weighted=True
         ),
+        "entity_embeddings": f"""
+            WITH {mentions_cte.strip()},
+            cm2 AS (
+                SELECT DISTINCT m.doc_id, canon.canon_id
+                FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+            )
+            , ex AS (
+                SELECT c.canon_id,
+                       unnest(list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> {{'d': i - 1, 'v': e.embedding[i]}})) AS s
+                FROM cm2 c JOIN embeddings e ON e.vec_id = c.doc_id
+            )
+            SELECT canon_id, s.d::INT AS dim, round(avg(s.v), 6) AS val
+            FROM ex GROUP BY 1, 2
+        """,
         "table_profile": " UNION ALL ".join(
             f"""
             SELECT '{c}' AS col_name, count(*)::BIGINT AS n_rows,

@@ -86,3 +86,37 @@ def corrupt_triples(triples: DataFrame, k: int = 2) -> DataFrame:
             ).alias("is_false_negative"),
         )
     )
+
+
+def entity_context_embeddings(
+    canon_mentions: DataFrame,
+    embeddings: DataFrame,
+    id_col: str = "doc_id",
+    entity_col: str = "canon_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(canon_id, dim, val) — each canonical entity's context embedding:
+    the per-dimension mean of the document embeddings of every doc that
+    mentions it (rounded to 6 dp). The standard cheap entity representation
+    (average-of-contexts) used to warm-start KG-embedding training and to
+    feed the ANN operators "related entity" lookups.
+
+    Scale shape: distinct (doc, entity) mention pairs join the embedding
+    table on the doc key (both sides shuffle once on doc_id — at crawl
+    scale the embedding table is bucketed the same way as every other
+    doc-keyed table), then ``posexplode`` fans each row out by the
+    dimensionality (a constant, 16-64) and the mean is one map-side
+    combined aggregation on (entity, dim). Rows out = entities × dims —
+    emitted long-form because the driver canonicalizer (and most SQL
+    engines) hash scalars, not arrays."""
+    cm = canon_mentions.select(id_col, entity_col).distinct()
+    vecs = embeddings.select(
+        F.col(vec_id_col).alias(id_col), F.col(vec_col).alias("_v")
+    )
+    return (
+        cm.join(vecs, id_col)
+        .select(entity_col, F.posexplode("_v").alias("dim", "_val"))
+        .groupBy(entity_col, "dim")
+        .agg(F.round(F.avg("_val"), 6).alias("val"))
+    )

@@ -398,3 +398,26 @@ def test_corrupt_triples_deterministic_flags_and_fanout(spark):
         assert flagged == should_flag, (subj, pred, obj, idx, neg)
     # sanity: at least one clean negative exists in this tiny vocab
     assert any(not f for *_x, f in out1)
+
+
+def test_entity_context_embeddings_hand_computed(spark):
+    from entity_extractor_by_pointer_spark.operators.kgprep import (
+        entity_context_embeddings,
+    )
+
+    cm = spark.createDataFrame(
+        [(1, "E1"), (2, "E1"), (2, "E2"), (3, "E2"), (1, "E1")],  # dup pair
+        "doc_id long, canon_id string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["canon_id"], r["dim"]): r["val"]
+        for r in entity_context_embeddings(cm, emb).collect()
+    }
+    assert got == {
+        ("E1", 0): 2.0, ("E1", 1): 3.0,   # mean of docs 1,2 (dup pair once)
+        ("E2", 0): 4.0, ("E2", 1): 2.0,   # mean of docs 2,3
+    }
