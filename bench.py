@@ -57,9 +57,18 @@ HEADLINE = [
     "corpus_curation",
     "doc_winnow_fingerprint",
     "doc_containment",
+    "doc_quality_adaptive",
+    "vocab_edit_pairs",
+    "table_profile",
     "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_ppr",
     "graph_triangles",
     "graph_related",
+    "graph_pred_stats",
+    "graph_metapaths",
+    "kg_negatives",
+    "entity_embeddings",
     "multimodal_features",
     "doc_quality",
     "doc_lang_id",
