@@ -32,23 +32,47 @@ def corrupt_triples(triples: DataFrame, k: int = 2) -> DataFrame:
     filtered sampling would need a variable number of re-draws per row,
     which neither distributes nor mirrors cleanly.
 
-    Scale shape: the entity vocabulary gets a dense index from ONE global
-    sort (a row_number window over 1 row per entity — entities are ~10⁶ ×
-    smaller than triples); negatives join the vocabulary on the computed
-    index (hash equi-join) and the false-negative flag is a left join back
-    to the triple set on its natural key. Nothing fans out beyond k rows
-    per input triple."""
+    Scale shape: the entity vocabulary gets a dense global index WITHOUT a
+    single-partition sort (an unpartitioned ``row_number`` window would
+    funnel every entity through one task): entities are range-partitioned
+    and sorted by value, each partition ranks locally (a partitioned
+    window — parallel), and partition-size prefix sums (one tiny window
+    over #partitions rows) supply the offsets. The index is the global
+    rank in sorted order, so it is deterministic regardless of where the
+    sampled range boundaries fall. Negatives join the vocabulary on the
+    computed index (hash equi-join) and the false-negative flag is a left
+    join back to the triple set on its natural key. Nothing fans out
+    beyond k rows per input triple."""
+    from pyspark.sql import Window
+
     t = cached(triples.select("subj", "pred", "obj").distinct())
     ents = (
         t.select(F.col("subj").alias("entity"))
         .unionAll(t.select(F.col("obj").alias("entity")))
         .distinct()
     )
-    from pyspark.sql import Window
-
+    ranged = (
+        ents.repartitionByRange("entity")
+        .sortWithinPartitions("entity")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_local",
+            F.row_number().over(Window.partitionBy("_pid").orderBy("entity")),
+        )
+    )
+    sizes = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = sizes.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
     vocab = cached(
-        ents.withColumn(
-            "idx", F.row_number().over(Window.orderBy("entity")) - F.lit(1)
+        ranged.join(F.broadcast(offsets), "_pid").select(
+            "entity", (F.col("_off") + F.col("_local") - 1).cast("int").alias("idx")
         )
     )
     v = vocab.count()
