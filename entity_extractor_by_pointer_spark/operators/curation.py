@@ -146,11 +146,14 @@ def adaptive_quality_flags(
     engines. ``keep = quality ≥ q_floor`` drops just under ``pct`` of each
     language's docs (ties at the floor survive).
 
-    Scale shape: the exact rank needs one per-language sort (window) — fine
-    into the billions per language, and the floors themselves are one row
-    per language. At full crawl scale, calibrate the SAME floors on a
-    deterministic ``hash_split`` sample and broadcast them; the operator's
-    join shape is unchanged (floors are always a tiny dim table)."""
+    Scale shape: NO per-language sort. ``quality_score`` rounds to 4 dp, so
+    a (lang, quality) HISTOGRAM has ≤ ~10⁴ rows per language no matter the
+    corpus size — the rank-``ceil(pct·n)`` value (the doc_id tie-break
+    cannot change WHICH quality value sits at a rank, only which doc) is
+    read off the histogram's cumulative counts with one map-side-combined
+    aggregation plus windows over the tiny histogram. A naive
+    ``row_number().over(partitionBy(lang))`` would funnel a dominant
+    language (90% of a crawl is one language) through a single task."""
     from pyspark.sql import Window
 
     scored = docs.select(
@@ -158,13 +161,17 @@ def adaptive_quality_flags(
         F.col(lang_col).alias("lang"),
         quality_score(F.col(text_col)).alias("quality"),
     )
-    w = Window.partitionBy("lang").orderBy("quality", id_col)
-    ranked = scored.withColumn("rk", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("lang"))
+    hist = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("lang").orderBy("quality")
+    cum = hist.withColumn("_cume", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy("lang"))
     )
-    floors = ranked.where(
-        F.col("rk") == F.greatest(F.ceil(F.lit(pct) * F.col("n")), F.lit(1))
-    ).select("lang", F.col("quality").alias("q_floor"))
+    target = F.greatest(F.ceil(F.lit(pct) * F.col("_n")), F.lit(1))
+    floors = (
+        cum.where(F.col("_cume") >= target)
+        .groupBy("lang")
+        .agg(F.min("quality").alias("q_floor"))
+    )
     return (
         scored.join(F.broadcast(floors), "lang")
         .select(
