@@ -244,8 +244,13 @@ def vocab_edit_pairs(
         sigs = f"array_distinct(concat(array(term), {dels1}, {dels2}))"
     else:
         raise ValueError("max_dist must be 1 or 2")
-    sig_rows = vocab.select(
-        "term", "df", F.explode(F.expr(sigs)).alias("sig")
+    from ..cache import cached
+
+    # cached: BOTH sides of the candidate self-join read the exploded
+    # signature table — uncached, the (up to L²-per-term) deletion
+    # neighborhood generation runs twice
+    sig_rows = cached(
+        vocab.select("term", "df", F.explode(F.expr(sigs)).alias("sig"))
     )
     a = sig_rows.select(
         F.col("sig"), F.col("term").alias("term_a"), F.col("df").alias("df_a")

@@ -273,7 +273,7 @@ def triangle_counts(triples: DataFrame) -> DataFrame:
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
+    deg = cached(
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
