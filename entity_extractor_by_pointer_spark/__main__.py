@@ -49,6 +49,20 @@ def main(argv: list[str] | None = None) -> int:
         help="graph analytics over an existing --workdir's triples stage: "
         "top entities by PageRank, degree census, triangle counts",
     )
+    parser.add_argument(
+        "--profile-stage",
+        metavar="STAGE",
+        help="one-pass data-quality profile (nulls/distincts/min/max per "
+        "column) of an existing --workdir stage table",
+    )
+    parser.add_argument(
+        "--expire-snapshots",
+        type=int,
+        metavar="KEEP_LAST",
+        help="retention maintenance on --workdir: compact all but the last "
+        "KEEP_LAST increments into the base tables and drop orphans "
+        "(the Iceberg expireSnapshots analog)",
+    )
     args = parser.parse_args(argv)
     if args.show_model_info:
         from .functions.model import NerConfig, PointerNerModel
@@ -70,6 +84,32 @@ def main(argv: list[str] | None = None) -> int:
         for cls, surfaces in PointerNerModel(cfg).predict_one(args.predict_text).items():
             print(f"{cls}: {surfaces}")
         return 0
+    if args.profile_stage or args.expire_snapshots is not None:
+        if not args.workdir:
+            parser.error("--profile-stage/--expire-snapshots need --workdir")
+        from .plans.lineage import StageWriter
+        from .session import get_spark as _get_spark
+
+        spark = _get_spark(app_name="kg-maintenance", master=args.master)
+        writer = StageWriter(spark, args.workdir, args.run_id or "maintenance")
+        if args.profile_stage:
+            from .operators.profile import profile_table
+
+            df = writer.read_stage(args.profile_stage)
+            print(f"profile of stage '{args.profile_stage}':")
+            for r in profile_table(df).orderBy("col_name").collect():
+                print(
+                    f"  {r['col_name']}: rows={r['n_rows']} nulls={r['n_nulls']} "
+                    f"distinct={r['n_distinct']} min={r['min_val']} max={r['max_val']}"
+                )
+        if args.expire_snapshots is not None:
+            res = writer.expire_snapshots(keep_last=args.expire_snapshots)
+            print(
+                f"expired {len(res['expired'])} snapshot(s), "
+                f"removed {len(res['orphans_removed'])} orphan dir(s)"
+            )
+        return 0
+
     if args.graph_stats:
         if not args.workdir:
             parser.error("--graph-stats needs --workdir of a completed run")

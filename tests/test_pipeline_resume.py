@@ -371,3 +371,32 @@ def test_cli_graph_stats_over_completed_run(spark, tmp_path, capsys):
     assert "degree census:" in out
     assert "triangle counts:" in out
     assert "ORG_" in out or "LOC_" in out or "PER_" in out
+
+
+def test_cli_profile_and_expire_snapshots(spark, tmp_path, capsys):
+    """--profile-stage prints the data-quality census of a stage table;
+    --expire-snapshots runs retention and reports counts — the maintenance
+    surface reachable without code."""
+    from entity_extractor_by_pointer_spark.__main__ import main
+
+    wd = str(tmp_path / "cli_maint")
+    pipe = KgPipeline(spark, wd, "m1")
+    pipe.run(generate_pages(spark, 50, partitions=2))
+    pipe.run_incremental(generate_pages(spark, 70, partitions=2))
+    before = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+
+    rc = main(["--profile-stage", "pages", "--workdir", wd])
+    out = capsys.readouterr().out
+    assert rc == 0 and "profile of stage 'pages':" in out
+    assert "url:" in out and "nulls=0" in out
+
+    rc = main(["--expire-snapshots", "0", "--workdir", wd])
+    out = capsys.readouterr().out
+    assert rc == 0 and "expired 1 snapshot(s)" in out
+    # reader-visible rows unchanged after compaction
+    assert before == sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    assert pipe.writer.list_snapshots() == []
