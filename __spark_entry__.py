@@ -311,6 +311,30 @@ def q_entity_embeddings(spark, sf_dir):
     return entity_context_embeddings(canon, _t(spark, sf_dir, "embeddings"))
 
 
+ENTITY_ANN_K = 3
+
+
+def q_entity_related_embedding(spark, sf_dir):
+    """Related entities by context-embedding cosine — the distributional
+    complement of graph_related (works for never-co-mentioned entities);
+    brute-force exact baseline over the (tiny) entity vector set, LSH/IVF
+    paths take the same frame at scale."""
+    from entity_extractor_by_pointer_spark.operators.kgprep import (
+        entity_related_by_embedding,
+    )
+
+    m = _doc_mentions(spark, sf_dir)
+    aliases = alias_df(spark, [(n, e) for n, _t2, e in DOCS_GAZETTEER])
+    linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+    edges = spark.createDataFrame(
+        [("ORG_VECTOR", "ORG_SPARK"), ("LOC_STREAM", "LOC_WINDOW")], "src string, dst string"
+    )
+    canon = canonicalize_entities(linked, edges)
+    return entity_related_by_embedding(
+        canon, _t(spark, sf_dir, "embeddings"), k=ENTITY_ANN_K
+    )
+
+
 PROFILE_COLS = ("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_shipdate")
 
 
@@ -1219,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negatives": q_kg_negatives,
         "table_profile": q_table_profile,
         "entity_embeddings": q_entity_embeddings,
+        "entity_related_embedding": q_entity_related_embedding,
         "entity_pmi_edges": q_entity_pmi_edges,
         "doc_boilerplate": q_doc_boilerplate,
         "dedup_minhash_est": q_dedup_minhash_est,
@@ -1674,6 +1699,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT canon_id, s.d::INT AS dim, round(avg(s.v), 6) AS val
             FROM ex GROUP BY 1, 2
+        """,
+        "entity_related_embedding": f"""
+            WITH {mentions_cte.strip()},
+            cm2 AS (
+                SELECT DISTINCT m.doc_id, canon.canon_id
+                FROM mentions m JOIN {canon} ON canon.entity_id = m.entity_id
+            ),
+            ex AS (
+                SELECT c.canon_id,
+                       unnest(list_transform(
+                           generate_series(1, len(e.embedding)),
+                           i -> {{'d': i - 1, 'v': e.embedding[i]}})) AS s
+                FROM cm2 c JOIN embeddings e ON e.vec_id = c.doc_id
+            ),
+            means AS (
+                SELECT canon_id, s.d AS dim, round(avg(s.v), 6) AS val
+                FROM ex GROUP BY 1, 2
+            ),
+            arrs AS (
+                SELECT canon_id, list(val ORDER BY dim) AS v FROM means GROUP BY 1
+            ),
+            ea AS (SELECT canon_id, v, {_norm_sql('v')} AS nrm FROM arrs),
+            scored AS (
+                SELECT q.canon_id AS query_id, c.canon_id AS neighbor_id,
+                       {_dot_sql('q.v', 'c.v')} / (q.nrm * c.nrm) AS cosine
+                FROM ea q JOIN ea c ON c.canon_id != q.canon_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT query_id, neighbor_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= {ENTITY_ANN_K}
         """,
         "table_profile": " UNION ALL ".join(
             f"""

@@ -144,3 +144,42 @@ def entity_context_embeddings(
         .groupBy(entity_col, "dim")
         .agg(F.round(F.avg("_val"), 6).alias("val"))
     )
+
+
+def entity_related_by_embedding(
+    canon_mentions: DataFrame,
+    embeddings: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    entity_col: str = "canon_id",
+) -> DataFrame:
+    """(query_id, neighbor_id, rank) — nearest entities by context-embedding
+    cosine: the "related entities" ranking driven by the documents entities
+    appear in, complementing the graph-structural ``related_entities``
+    (shared neighbors) with a distributional signal that works even for
+    entities never co-mentioned.
+
+    Composition: :func:`entity_context_embeddings` builds the vectors
+    (long-form → dim-sorted arrays via ``array_sort`` over (dim, val)
+    structs, so partition order can't permute components), then the ANN
+    operators consume them unchanged. This entry point uses the exact
+    brute-force ranker — the right default while the ENTITY count stays far
+    below the document count; at web scale (10⁸+ entities) pass the same
+    (vec_id, embedding) frame to ``similarity.ann_topk_lsh`` /
+    ``ann_topk_ivf`` for the bucketed path."""
+    from .similarity import ann_topk_bruteforce
+
+    vecs = entity_context_embeddings(
+        canon_mentions, embeddings, id_col=id_col, entity_col=entity_col
+    )
+    arr = (
+        vecs.groupBy(entity_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "val"))),
+                lambda s: s["val"],
+            ).alias("embedding")
+        )
+        .withColumnRenamed(entity_col, "vec_id")
+    )
+    return ann_topk_bruteforce(arr, arr, k)

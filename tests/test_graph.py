@@ -421,3 +421,28 @@ def test_entity_context_embeddings_hand_computed(spark):
         ("E1", 0): 2.0, ("E1", 1): 3.0,   # mean of docs 1,2 (dup pair once)
         ("E2", 0): 4.0, ("E2", 1): 2.0,   # mean of docs 2,3
     }
+
+
+def test_entity_related_by_embedding_ranks_by_cosine(spark):
+    """Hand-checkable: E1/E2 share identical context docs (cosine 1), E3
+    is orthogonal — each of E1/E2 ranks the other first."""
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.kgprep import (
+        entity_related_by_embedding,
+    )
+
+    cm = spark.createDataFrame(
+        [(1, "E1"), (1, "E2"), (2, "E3")], "doc_id long, canon_id string"
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    try:
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in entity_related_by_embedding(cm, emb, k=2).collect()
+        }
+    finally:
+        release_all()
+    assert got[("E1", 1)] == "E2" and got[("E2", 1)] == "E1"
+    assert got[("E1", 2)] == "E3"  # orthogonal last
