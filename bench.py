@@ -69,6 +69,7 @@ HEADLINE = [
     "graph_metapaths",
     "kg_negatives",
     "entity_embeddings",
+    "entity_related_embedding",
     "multimodal_features",
     "doc_quality",
     "doc_lang_id",
