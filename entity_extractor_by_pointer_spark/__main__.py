@@ -84,9 +84,15 @@ def main(argv: list[str] | None = None) -> int:
         for cls, surfaces in PointerNerModel(cfg).predict_one(args.predict_text).items():
             print(f"{cls}: {surfaces}")
         return 0
-    if args.profile_stage or args.expire_snapshots is not None:
+    # one maintenance/read-only block: --profile-stage, --expire-snapshots
+    # and --graph-stats compose (sequential execution over one session) —
+    # the old early-return maintenance branch silently ignored a combined
+    # --graph-stats (round-4 ADVICE)
+    if args.profile_stage or args.expire_snapshots is not None or args.graph_stats:
         if not args.workdir:
-            parser.error("--profile-stage/--expire-snapshots need --workdir")
+            parser.error(
+                "--profile-stage/--expire-snapshots/--graph-stats need --workdir"
+            )
         from .plans.lineage import StageWriter
         from .session import get_spark as _get_spark
 
@@ -108,30 +114,22 @@ def main(argv: list[str] | None = None) -> int:
                 f"expired {len(res['expired'])} snapshot(s), "
                 f"removed {len(res['orphans_removed'])} orphan dir(s)"
             )
-        return 0
+        if args.graph_stats:
+            from .operators.graph import entity_degrees, pagerank, triangle_counts
 
-    if args.graph_stats:
-        if not args.workdir:
-            parser.error("--graph-stats needs --workdir of a completed run")
-        from .operators.graph import entity_degrees, pagerank, triangle_counts
-        from .plans.lineage import StageWriter
-        from .session import get_spark as _get_spark
+            triples = writer.read_stage("triples").drop("subj_bucket")
+            print("top entities by pagerank:")
+            for r in pagerank(triples).orderBy("rank", ascending=False).limit(10).collect():
+                print(f"  {r['entity']}: {r['rank']:.6f}")
+            print("degree census:")
+            for r in entity_degrees(triples).orderBy("degree", ascending=False).limit(10).collect():
+                print(f"  {r['entity']}: out={r['out_deg']} in={r['in_deg']} total={r['degree']}")
+            print("triangle counts:")
+            for r in triangle_counts(triples).orderBy("triangles", ascending=False).limit(10).collect():
+                print(f"  {r['entity']}: {r['triangles']}")
+            from .cache import release_all
 
-        spark = _get_spark(app_name="kg-graph-stats", master=args.master)
-        writer = StageWriter(spark, args.workdir, args.run_id or "graph-stats")
-        triples = writer.read_stage("triples").drop("subj_bucket")
-        print("top entities by pagerank:")
-        for r in pagerank(triples).orderBy("rank", ascending=False).limit(10).collect():
-            print(f"  {r['entity']}: {r['rank']:.6f}")
-        print("degree census:")
-        for r in entity_degrees(triples).orderBy("degree", ascending=False).limit(10).collect():
-            print(f"  {r['entity']}: out={r['out_deg']} in={r['in_deg']} total={r['degree']}")
-        print("triangle counts:")
-        for r in triangle_counts(triples).orderBy("triangles", ascending=False).limit(10).collect():
-            print(f"  {r['entity']}: {r['triangles']}")
-        from .cache import release_all
-
-        release_all()
+            release_all()
         return 0
 
     if not args.pages_parquet and not args.synth_pages and not args.eval_json:

@@ -248,9 +248,19 @@ def vocab_edit_pairs(
 
     # cached: BOTH sides of the candidate self-join read the exploded
     # signature table — uncached, the (up to L²-per-term) deletion
-    # neighborhood generation runs twice
+    # neighborhood generation runs twice.
+    # The EMPTY signature is excluded from blocking: every term of length
+    # <= max_dist emits it, so on vocabularies dense in 1-2 char tokens all
+    # short terms would collapse into one giant block and the candidate
+    # join degenerates toward O(V_short²) wasted verify work (round-4
+    # ADVICE). Losing "" is lossless because only len<=max_dist terms can
+    # produce it, and any two such terms are ALWAYS within max_dist (align
+    # with <= max(len) <= max_dist edits) — they are emitted directly below
+    # as guaranteed-true pairs (output-sized work, no verification waste).
     sig_rows = cached(
-        vocab.select("term", "df", F.explode(F.expr(sigs)).alias("sig"))
+        vocab.select("term", "df", F.explode(F.expr(sigs)).alias("sig")).where(
+            F.col("sig") != ""
+        )
     )
     a = sig_rows.select(
         F.col("sig"), F.col("term").alias("term_a"), F.col("df").alias("df_a")
@@ -258,14 +268,22 @@ def vocab_edit_pairs(
     b = sig_rows.select(
         F.col("sig"), F.col("term").alias("term_b"), F.col("df").alias("df_b")
     )
-    cand = (
-        a.join(b, "sig")
-        .where(F.col("term_a") < F.col("term_b"))
+    cand = a.join(b, "sig").where(F.col("term_a") < F.col("term_b")).select(
+        "term_a", "term_b", "df_a", "df_b"
+    )
+    short = cached(vocab.where(F.length("term") <= max_dist))
+    direct = (
+        short.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+        .join(
+            short.select(F.col("term").alias("term_b"), F.col("df").alias("df_b")),
+            F.col("term_a") < F.col("term_b"),
+        )
         .select("term_a", "term_b", "df_a", "df_b")
-        .distinct()
     )
     return (
-        cand.withColumn("dist", F.levenshtein("term_a", "term_b"))
+        cand.unionAll(direct)
+        .distinct()
+        .withColumn("dist", F.levenshtein("term_a", "term_b"))
         .where(F.col("dist") <= max_dist)
         .select(
             "term_a",

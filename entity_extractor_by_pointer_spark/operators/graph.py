@@ -368,14 +368,21 @@ def related_entities(
             und.select(F.col("v").alias("ctr"), F.col("u").alias("nbr"))
         )
     )
-    nbr_sizes = adj.groupBy(F.col("nbr").alias("entity")).agg(
-        F.count(F.lit(1)).alias("n_nbrs")
-    )
     ctr_deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("cdeg"))
-    ev = adj.join(
-        ctr_deg.where(F.col("cdeg") <= max_center_degree).select("ctr"),
-        "ctr",
-        "left_semi",
+    ev = cached(
+        adj.join(
+            ctr_deg.where(F.col("cdeg") <= max_center_degree).select("ctr"),
+            "ctr",
+            "left_semi",
+        )
+    )
+    # neighbor-set sizes from the SAME capped evidence as the intersection:
+    # a mixed denominator (uncapped n_a/n_b under a capped common_nbrs)
+    # would make nbr_jaccard inconsistent with its own numerator on
+    # hub-heavy graphs (round-4 ADVICE) — with the cap engaged, jaccard is
+    # exactly |N∩| / |N∪| over hub-free neighborhoods on both sides
+    nbr_sizes = ev.groupBy(F.col("nbr").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n_nbrs")
     )
     w1 = ev.select("ctr", F.col("nbr").alias("entity_a"))
     w2 = ev.select("ctr", F.col("nbr").alias("entity_b"))

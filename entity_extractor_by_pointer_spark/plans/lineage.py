@@ -161,10 +161,13 @@ class StageWriter:
         expired = snaps[:-keep_last] if keep_last > 0 else list(snaps)
         committed = set(snaps)
         # 1) fold each expired committed increment into the stage base tables
-        #    (pages LAST: its dir is the commit marker, so a crash mid-expire
-        #    leaves the increment still visible and the retry re-folds it —
-        #    the base rewrite below is a full overwrite, not an append, so
-        #    re-folding is idempotent)
+        #    (pages LAST: its dir is the commit marker). Crash-safety within
+        #    a stage: the new base carries a _folded.json manifest naming the
+        #    increments it already contains, written BEFORE the swap — a
+        #    crash after the swap but before the increment dirs are deleted
+        #    would otherwise leave read_stage double-counting those rows and
+        #    a retry re-folding them permanently (round-4 ADVICE, medium);
+        #    _purge_folded finishes the deletion on every recover/read
         for stage in stages:
             inc_root = os.path.join(self.workdir, f"{stage}_inc")
             dirs = [
@@ -194,14 +197,17 @@ class StageWriter:
             # recoverable by _recover_compaction
             with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
                 f.write(df.schema.json())
+            import json
+
+            with open(os.path.join(tmp, "_folded.json"), "w") as f:
+                json.dump({"folded": [os.path.basename(p) for p in dirs]}, f)
             old = base + ".compact_old"
             if os.path.isdir(old):
                 shutil.rmtree(old)
             os.rename(base, old)
             os.rename(tmp, base)
             shutil.rmtree(old)
-            for p in dirs:
-                shutil.rmtree(p)
+            self._purge_folded(stage)
         # 2) remove orphans: snapshot dirs that are not committed (their own
         #    _SUCCESS missing, or the pages commit marker never landed)
         orphans: list[str] = []
@@ -243,6 +249,35 @@ class StageWriter:
         for p in (tmp, old):
             if os.path.isdir(base) and os.path.isdir(p):
                 shutil.rmtree(p)
+        self._purge_folded(stage)
+
+    def _purge_folded(self, stage: str) -> None:
+        """Delete increment dirs the live base records as already folded
+        into it (the ``_folded.json`` manifest written before the compaction
+        swap), then drop the manifest. Idempotent: re-deleting missing dirs
+        is a no-op, and a crash between the deletions and the manifest
+        unlink just retries both. Closes the window where a crash after the
+        swap left folded increments still committed on disk — double-counted
+        by ``read_stage`` and permanently re-folded by a retry (round-4
+        ADVICE, medium)."""
+        import json
+        import shutil
+
+        base = self._stage_path(stage)
+        manifest = os.path.join(base, "_folded.json")
+        if not os.path.exists(manifest):
+            return
+        try:
+            with open(manifest) as f:
+                folded = json.load(f).get("folded", [])
+        except (OSError, ValueError):
+            folded = []
+        inc_root = base + "_inc"
+        for d in folded:
+            p = os.path.join(inc_root, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+        os.remove(manifest)
 
     def _detect_partition_cols(self, base: str) -> list[str]:
         """Partition columns of an existing stage dir (from `col=value`

@@ -217,8 +217,10 @@ def test_triangle_counts_random_graph_vs_bruteforce(spark):
 
 def test_related_entities_hand_computed_and_hub_cap(spark):
     """Path graph a-b-c-d plus hub h linked to everything: (a, c) share b;
-    with the hub capped out, hub-mediated evidence disappears but direct
-    neighbor sets (sizes, linked flag) stay exact."""
+    with the hub capped out, hub-mediated evidence disappears AND the
+    jaccard denominator uses the same capped neighborhoods as the numerator
+    (round-4 ADVICE: a mixed denominator was inconsistent with common_nbrs
+    on hub graphs)."""
     from entity_extractor_by_pointer_spark.cache import release_all
     from entity_extractor_by_pointer_spark.operators.graph import related_entities
 
@@ -236,12 +238,20 @@ def test_related_entities_hand_computed_and_hub_cap(spark):
         assert full[("a", "c")] == (2, False)
         assert full[("a", "d")] == (1, False)
         assert full[("b", "c")][1] is True  # direct edge flagged
+        # uncapped jaccard for (a, c): |{b,h}∩{b,d,h}| / |{b,h}∪{b,d,h}|
+        jacc_full = {
+            (r["entity_a"], r["entity_b"]): r["nbr_jaccard"]
+            for r in related_entities(tr).collect()
+        }
+        assert jacc_full[("a", "c")] == round(2 / 3, 4)
         # cap excludes the degree-4 hub as evidence: a-d vanish, a-c keep b
         capped = {
-            (r["entity_a"], r["entity_b"]): (r["common_nbrs"], r["linked"])
+            (r["entity_a"], r["entity_b"]): (r["common_nbrs"], r["linked"], r["nbr_jaccard"])
             for r in related_entities(tr, max_center_degree=3).collect()
         }
-        assert capped[("a", "c")] == (1, False)
+        # capped neighborhoods: N(a)={b}, N(c)={b,d} → jaccard 1/2, and the
+        # numerator can never exceed its own denominator's evidence
+        assert capped[("a", "c")] == (1, False, 0.5)
         assert ("a", "d") not in capped
     finally:
         release_all()

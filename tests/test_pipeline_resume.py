@@ -357,6 +357,62 @@ def test_expire_compaction_crash_recovery(spark, tmp_path):
     )
 
 
+def test_expire_crash_between_swap_and_increment_delete(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE (medium): crash AFTER the base swap but BEFORE the
+    folded increment dirs are deleted. The folded rows are then in the base
+    while the increments remain committed on disk — without the
+    _folded.json manifest, read_stage double-counts immediately and a retry
+    re-folds them into the base permanently. With it, the next read purges
+    the already-folded increments and a retry changes nothing."""
+    import os
+
+    import pytest
+
+    import entity_extractor_by_pointer_spark.plans.lineage as L
+
+    wd = str(tmp_path / "crash2")
+    pipe = KgPipeline(spark, wd, "crash2")
+    pipe.run(generate_pages(spark, 40, partitions=2))
+    pipe.run_incremental(generate_pages(spark, 60, partitions=2))
+
+    def rows(stage, cols):
+        return sorted(tuple(r) for r in pipe.writer.read_stage(stage).select(*cols).collect())
+
+    before_m = rows("mentions", ["url", "entity", "start_idx"])
+    before_p = rows("pages", ["url"])
+
+    real_purge = L.StageWriter._purge_folded
+
+    def crash_after_swap(self, stage):
+        # the pre-fold _recover_compaction call sees no manifest (no-op);
+        # the post-swap call does — crash exactly there
+        if os.path.exists(os.path.join(self._stage_path(stage), "_folded.json")):
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(L.StageWriter, "_purge_folded", crash_after_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.writer.expire_snapshots(keep_last=0)
+    monkeypatch.setattr(L.StageWriter, "_purge_folded", real_purge)
+
+    # post-crash state: mentions base already swapped, its increments still
+    # on disk and still "committed" (pages inc is the commit marker)
+    inc_root = os.path.join(wd, "mentions_inc")
+    assert os.path.isdir(inc_root) and os.listdir(inc_root)
+    assert os.path.exists(os.path.join(wd, "mentions", "_folded.json"))
+
+    # first read recovers: no double count, folded increments purged
+    assert rows("mentions", ["url", "entity", "start_idx"]) == before_m
+    assert not os.path.exists(os.path.join(wd, "mentions", "_folded.json"))
+    for d in pipe.writer.list_snapshots():
+        assert not os.path.isdir(os.path.join(inc_root, d))
+
+    # retry completes the remaining stages without re-folding anything
+    pipe.writer.expire_snapshots(keep_last=0)
+    assert rows("mentions", ["url", "entity", "start_idx"]) == before_m
+    assert rows("pages", ["url"]) == before_p
+    assert pipe.writer.read_stage("pages").count() == len(before_p)
+
+
 def test_cli_graph_stats_over_completed_run(spark, tmp_path, capsys):
     """--graph-stats reads an existing workdir's triples stage and prints
     pagerank / degree / triangle summaries (KG queryable from the CLI)."""
@@ -392,9 +448,13 @@ def test_cli_profile_and_expire_snapshots(spark, tmp_path, capsys):
     assert rc == 0 and "profile of stage 'pages':" in out
     assert "url:" in out and "nulls=0" in out
 
-    rc = main(["--expire-snapshots", "0", "--workdir", wd])
+    # combined maintenance + graph-stats: both must execute in one
+    # invocation (round-4 ADVICE: --graph-stats was silently ignored when
+    # paired with a maintenance flag)
+    rc = main(["--expire-snapshots", "0", "--graph-stats", "--workdir", wd])
     out = capsys.readouterr().out
     assert rc == 0 and "expired 1 snapshot(s)" in out
+    assert "top entities by pagerank:" in out
     # reader-visible rows unchanged after compaction
     assert before == sorted(
         tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()

@@ -137,28 +137,88 @@ def test_boilerplate_hot_broadcast_is_census_gated(spark):
         assert "BroadcastHashJoin" in below, below
         above = _plan(boilerplate_stats(docs, broadcast_hot_max=0))
         assert "BroadcastHashJoin" not in above, above
+        # censused tier (census_docs_max=0 forces the hot-set count): hint
+        # applied under the ceiling, withheld above it
+        censused = _plan(boilerplate_stats(docs, census_docs_max=0))
+        assert "BroadcastHashJoin" in censused, censused
+        censused_big = _plan(
+            boilerplate_stats(docs, census_docs_max=0, broadcast_hot_max=1)
+        )
+        assert "BroadcastHashJoin" not in censused_big, censused_big
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         release_all()
 
 
-def test_flagship_runs_ner_once(spark):
-    """Round-2 defect lock: the flagship triple query must compute the NER
-    stage ONCE. Both join branches must be InMemoryTableScans over the SAME
-    cached first-mention relation — every MapInPandas in the plan carries
-    one shared expression id (the cached subtree printed under each scan),
-    never two distinct ids (double compute)."""
+def test_profile_distinct_strategy_is_census_gated(spark):
+    """Round-4 verdict item 4 lock: profile_table's auto mode picks exact
+    multi-DISTINCT (Expand plan) at/below the row ceiling and HLL++ (no
+    Expand) above it."""
+    from entity_extractor_by_pointer_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")  # 6,000 rows
+    cols = ["l_orderkey", "l_returnflag"]
+    exact = _plan(profile_table(li, cols))
+    assert "Expand" in exact, exact
+    approx = _plan(profile_table(li, cols, exact_rows_max=0))
+    assert "Expand" not in approx, approx
+    assert "approx_count_distinct" in approx, approx
+
+
+def test_triples_build_runs_ner_once(spark):
+    """Round-2 defect lock, now on the STORE-BUILD path: building triples
+    from raw mentions must compute the NER stage ONCE. Both join branches
+    must be InMemoryTableScans over the SAME cached first-mention relation —
+    every MapInPandas in the plan carries one shared expression id (the
+    cached subtree printed under each scan), never two distinct ids
+    (double compute)."""
     import re
 
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
     from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.functions.gazetteer import DOCS_GAZETTEER
+    from entity_extractor_by_pointer_spark.operators.canonicalize import (
+        canonicalize_entities,
+    )
+    from entity_extractor_by_pointer_spark.operators.linking import (
+        alias_df,
+        link_mentions,
+    )
+    from entity_extractor_by_pointer_spark.operators.mentions import (
+        detect_mentions_gazetteer,
+    )
+    from entity_extractor_by_pointer_spark.operators.triples import build_triples
 
     try:
-        plan = _plan(E.q_triples_flagship(spark, SF))
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        m = detect_mentions_gazetteer(
+            docs, DOCS_GAZETTEER, id_col="doc_id", text_col="text", id_type=T.LongType()
+        )
+        aliases = alias_df(spark, [(n, e) for n, _t, e in DOCS_GAZETTEER])
+        linked = link_mentions(m, aliases).where(F.col("entity_id").isNotNull())
+        edges = spark.createDataFrame(
+            [("ORG_VECTOR", "ORG_SPARK")], "src string, dst string"
+        )
+        plan = _plan(build_triples(canonicalize_entities(linked, edges), id_col="doc_id"))
         assert plan.count("InMemoryTableScan") >= 2, plan
         ids = set(re.findall(r"MapInPandas \w+\([^)]*\)#(\d+)", plan))
         assert len(ids) == 1, f"expected one shared NER subtree, got ids {ids}\n{plan}"
     finally:
         release_all()
+
+
+def test_graph_queries_read_materialized_store(spark):
+    """Round-4 verdict item 1 lock: after the first KG query materializes
+    the mention/triple stores, subsequent graph-family queries must READ the
+    store — their plans contain no MapInPandas (no NER recompute) and scan
+    the subject-hash-partitioned triples parquet."""
+    E.q_triples_flagship(spark, SF).collect()  # materializes the stores
+    for q in (E.q_graph_degrees, E.q_graph_pagerank, E.q_graph_pred_stats):
+        plan = _plan(q(spark, SF))
+        assert "MapInPandas" not in plan, plan
+        assert "eeps_kg_triples_" in plan, plan
 
 
 def test_pagerank_pays_one_exchange_per_iteration(spark):
