@@ -89,6 +89,126 @@ def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# real image-header codec (round-4 verdict item 7): pure-stdlib byte parsing
+# of PNG IHDR (ISO/IEC 15948 §11.2.2) and JPEG SOFn (ITU-T T.81 §B.2.2) —
+# the dimensions/channels census a crawl pipeline runs over every image
+# WITHOUT full decode, so it needs no PIL/ffmpeg and shrinks the
+# fake-codec-only surface.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (greyscale, RGB, palette, grey+alpha, RGBA)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# SOF markers carry frame dims; C4/C8/CC are DHT/JPG/DAC, not frames
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) parsed from real image bytes —
+    PNG via the IHDR chunk, JPEG by walking marker segments to the first
+    SOFn. Returns None for unrecognized or truncated payloads (the caller
+    decides whether that's a skip or a quarantine row)."""
+    if payload.startswith(_PNG_SIG):
+        # IHDR is mandatory-first: 4B length, b'IHDR', width, height (both
+        # 4B big-endian), bit depth, color type
+        if len(payload) < 26 or payload[12:16] != b"IHDR":
+            return None
+        width = int.from_bytes(payload[16:20], "big")
+        height = int.from_bytes(payload[20:24], "big")
+        channels = _PNG_CHANNELS.get(payload[25])
+        if channels is None or not width or not height:
+            return None
+        return ("png", width, height, channels)
+    if payload[:2] == b"\xff\xd8":  # SOI
+        i = 2
+        n = len(payload)
+        while i + 3 < n:
+            if payload[i] != 0xFF:  # corrupt stream
+                return None
+            marker = payload[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                return None
+            if marker in _JPEG_SOF:
+                # segment: length, precision(1), height(2), width(2), Nf(1)
+                if i + 9 >= n:
+                    return None
+                height = int.from_bytes(payload[i + 5 : i + 7], "big")
+                width = int.from_bytes(payload[i + 7 : i + 9], "big")
+                channels = payload[i + 9]
+                if not width or not height:
+                    return None
+                return ("jpeg", width, height, channels)
+            i += 2 + seg_len
+    return None
+
+
+def synth_png(width: int, height: int, color_type: int = 2) -> bytes:
+    """A structurally valid PNG header (signature + CRC-correct IHDR) —
+    deterministic synthetic payload for tests/demos where real images
+    aren't available; parseable by any spec-compliant reader."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II5B", width, height, 8, color_type, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        _PNG_SIG
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def synth_jpeg(width: int, height: int, components: int = 3) -> bytes:
+    """A minimal JPEG prefix (SOI + APP0/JFIF + SOF0 frame header) with the
+    given dimensions — enough for any header parser, deterministic."""
+    import struct
+
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, height, width, components) + bytes(
+        b for c in range(components) for b in (c + 1, 0x11, 0)
+    )
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    )
+
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("channels", T.IntegerType(), False),
+    ]
+)
+
+
+def image_dims(media: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """(media_id, format, width, height, channels) per parseable image —
+    narrow Arrow-batched stage straight off the scan (payloads never
+    shuffle); unparseable payloads are dropped (filter-side semantics)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = parse_image_header(bytes(payload))
+                if parsed is not None:
+                    rows.append((int(mid), *parsed))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "format", "width", "height", "channels"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
 def sample_video_frames(media: DataFrame, every_ms: int = 1000, codec: str = "fake") -> DataFrame:
     """video rows → (media_id, frame_idx, frame_payload). Fake codec slices
     the payload deterministically; a real build decodes with ffmpeg."""
