@@ -712,6 +712,43 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+CONTAM_N = 8
+CONTAM_BENCH_PERIOD = 97
+CONTAM_PREFIX_WORDS = 30
+
+
+def q_benchmark_contamination(spark, sf_dir):
+    """GPT-3-appendix-C-style benchmark DECONTAMINATION: flag documents
+    sharing >=1 distinct word-8-gram with any benchmark item. The
+    "benchmark" is derived deterministically (30-word prefixes of every
+    97th doc) so both engines build the identical suite; the corpus side is
+    one shingle explode against the census-gated-broadcast benchmark
+    shingle dim."""
+    from entity_extractor_by_pointer_spark.functions.textstats import norm_text
+    from entity_extractor_by_pointer_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % CONTAM_BENCH_PERIOD == 3).select(
+        F.array_join(
+            F.slice(F.split(norm_text(F.col("text")), " "), 1, CONTAM_PREFIX_WORDS),
+            " ",
+        ).alias("text")
+    )
+    return contamination_flags(d, bench, n=CONTAM_N)
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-SOURCE curation census (RefinedWeb-style domain-level filter
+    signal): doc count, mean quality, corpus-wide exact-dup share, mean
+    token count — one fingerprint shuffle + one map-side-combined
+    aggregation."""
+    from entity_extractor_by_pointer_spark.operators.curation import source_stats
+
+    return source_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """Repeated-passage (boilerplate) census per document: distinct shingle
     count, count with corpus df ≥ 4, and their ratio — the C4/RefinedWeb
@@ -1337,6 +1374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         "multimodal_image_dims": q_multimodal_image_dims,
+        "benchmark_contamination": q_benchmark_contamination,
+        "source_stats": q_source_stats,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ivf_kmeans_train": q_ivf_kmeans_train,
@@ -1384,9 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_moving_avg": q_window_moving_avg,
         "doc_len_stats": q_doc_len_stats,
         "sort_topk": q_sort_topk,
+        "cube_events": q_cube_events,
         "filter_project": q_filter_project,
         "union_distinct": q_union_distinct,
-        "cube_events": q_cube_events,
         "events_hourly": q_events_hourly,
         "events_json_extract": q_events_json_extract,
         "events_asof_join": q_events_asof_join,
@@ -2117,6 +2156,28 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
+        "benchmark_contamination": f"""
+            WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+                        FROM documents),
+            bsh AS (
+                SELECT DISTINCT unnest(
+                    list_transform(generate_series(1, greatest(len(bw) - {CONTAM_N - 1}, 0)),
+                                   i -> array_to_string(bw[i:i+{CONTAM_N - 1}], ' '))) AS shingle
+                FROM (SELECT w[1:{CONTAM_PREFIX_WORDS}] AS bw FROM dn
+                      WHERE doc_id % {CONTAM_BENCH_PERIOD} = 3)
+            ),
+            dsh AS (
+                SELECT DISTINCT doc_id, unnest(
+                    list_transform(generate_series(1, greatest(len(w) - {CONTAM_N - 1}, 0)),
+                                   i -> array_to_string(w[i:i+{CONTAM_N - 1}], ' '))) AS shingle
+                FROM dn
+            ),
+            hits AS (SELECT doc_id, count(*) AS n_contam
+                     FROM dsh JOIN bsh USING (shingle) GROUP BY 1)
+            SELECT d.doc_id, coalesce(h.n_contam, 0)::INT AS n_contam,
+                   coalesce(h.n_contam, 0) >= 1 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "dedup_ngram_jaccard": f"""
             WITH {jacc_pairs.strip()}
             SELECT id_a, id_b, jaccard FROM jp WHERE jaccard >= {JACCARD_THRESHOLD}
@@ -2582,5 +2643,26 @@ def _textstat_oracles() -> dict[str, str]:
             FROM fp d JOIN keep k USING (f)
             JOIN q ON q.doc_id = d.doc_id
             JOIN documents doc ON doc.doc_id = d.doc_id
+        """,
+        "source_stats": rf"""
+            WITH q AS ({quality}),
+            fp AS (SELECT doc_id, {norm_fp} AS f FROM documents),
+            dc AS (SELECT f, count(*) AS n_fp FROM fp GROUP BY f),
+            tok AS (SELECT doc_id,
+                           CASE WHEN trim(text) = '' THEN 0
+                                ELSE len(string_split_regex(trim(text), '\s+'))
+                           END AS t
+                    FROM documents)
+            SELECT d.source, count(*) AS n_docs,
+                   round(avg(q.quality), 4) AS mean_quality,
+                   round(avg(CASE WHEN dc.n_fp > 1 THEN 1.0 ELSE 0.0 END), 4)
+                       AS dup_ratio,
+                   round(avg(tok.t), 2) AS mean_tokens
+            FROM documents d
+            JOIN q USING (doc_id)
+            JOIN fp USING (doc_id)
+            JOIN dc USING (f)
+            JOIN tok USING (doc_id)
+            GROUP BY d.source
         """,
     }

@@ -144,6 +144,109 @@ def boilerplate_stats(
     )
 
 
+# benchmark-shingle broadcast gate: eval benchmarks are ~10^5-10^6 short
+# items; their distinct n-gram set usually broadcasts, but a forced hint
+# would OOM on a pathological benchmark instead of degrading (same policy
+# as every other dim-side gate in this repo)
+CONTAM_BROADCAST_MAX = 1_000_000
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    broadcast_max: int = CONTAM_BROADCAST_MAX,
+) -> DataFrame:
+    """(doc_id, n_contam, contaminated) — benchmark DECONTAMINATION, the
+    train/test-leak check every serious LLM data pipeline runs (GPT-3
+    appendix C / PaLM-style n-gram collision): a document is contaminated
+    when it shares at least ``min_hits`` distinct word-``n``-gram shingles
+    with ANY benchmark item. Docs too short to emit a shingle are clean by
+    definition (n_contam = 0).
+
+    Scale shape: the corpus side is ONE shingle explode (same normalized
+    tokenization as the dedup family) joined against the DISTINCT benchmark
+    shingle dim — benchmark suites are tiny next to a crawl, so the dim is
+    census-gated broadcast (plain shuffle join above the gate, AQE decides);
+    the hit count is a map-side-combined groupBy on doc_id. Nothing about
+    the corpus is ever collected or re-scanned."""
+    from .dedup import shingle_df
+
+    bench_sh = (
+        shingle_df(
+            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+            "_bid",
+            bench_text_col,
+            n=n,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    bench_sh = cached(bench_sh)
+    dim = F.broadcast(bench_sh) if bench_sh.count() <= broadcast_max else bench_sh
+    doc_sh = shingle_df(docs, id_col, text_col, n=n)
+    hits = (
+        doc_sh.join(dim, "shingle", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contam"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .fillna(0, subset=["n_contam"])
+        .select(
+            id_col,
+            F.col("n_contam").cast("int").alias("n_contam"),
+            (F.col("n_contam") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, mean_quality, dup_ratio, mean_tokens) — the
+    per-SOURCE curation census (RefinedWeb/C4 filter decisions are made
+    per-domain, not per-document): document count, mean heuristic quality,
+    the share of docs whose exact fingerprint appears more than once in the
+    WHOLE corpus (cross-source duplicates count against every source
+    carrying them), and mean whitespace token count.
+
+    Scale shape: one fingerprint groupBy (the same shuffle exact dedup
+    pays) feeds a dup-fingerprint dim joined back on the fingerprint; all
+    the per-source moments ride a single map-side-combined aggregation.
+    Quality/token expressions are pure Catalyst."""
+    from ..functions.textstats import fingerprint64, quality_score, ws_token_count
+
+    fp = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        quality_score(F.col(text_col)).alias("_q"),
+        ws_token_count(F.col(text_col)).alias("_tok"),
+        fingerprint64(F.col(text_col)).alias("_fp"),
+    )
+    dup_counts = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n_fp"))
+    return (
+        fp.join(dup_counts, "_fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_q"), 4).alias("mean_quality"),
+            F.round(
+                F.avg(F.when(F.col("_n_fp") > 1, 1.0).otherwise(0.0)), 4
+            ).alias("dup_ratio"),
+            F.round(F.avg("_tok"), 2).alias("mean_tokens"),
+        )
+    )
+
+
 ADAPTIVE_QUALITY_PCT = 0.25
 
 

@@ -698,3 +698,54 @@ def test_profile_table_one_pass_with_nulls(spark):
     # around one Exchange (plus the Expand the multi-distinct needs)
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_contamination_flags_hand_computed(spark):
+    """8-gram collision with a benchmark item flags the doc; shorter
+    overlaps and clean docs don't; short docs are clean by definition."""
+    from entity_extractor_by_pointer_spark.operators.curation import (
+        contamination_flags,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra words here"),            # contains bench 8-grams
+            (2, "alpha beta gamma delta nothing else at all here now"),  # ≤4-gram overlap only
+            (3, "totally unrelated content with its own ten words set"),
+            (4, "short doc"),                            # no 8-gram at all
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(base,)], "text string")
+    got = {
+        r["doc_id"]: (r["n_contam"], r["contaminated"])
+        for r in contamination_flags(docs, bench, n=8).collect()
+    }
+    # bench (10 words) has 3 distinct 8-grams, all present in doc 1
+    assert got[1] == (3, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
+
+
+def test_source_stats_hand_computed(spark):
+    """Cross-source exact dups count against every source carrying them;
+    means are per-source."""
+    from entity_extractor_by_pointer_spark.operators.curation import source_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "a"),
+            (2, "one two three", "b"),   # dup of doc 1, different source
+            (3, "four five six seven", "a"),
+            (4, "unique eight nine", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in source_stats(docs).collect()}
+    assert got["a"]["n_docs"] == 2 and got["b"]["n_docs"] == 2
+    assert got["a"]["dup_ratio"] == 0.5  # doc 1 of a's 2 docs is corpus-dup
+    assert got["b"]["dup_ratio"] == 0.5
+    assert got["a"]["mean_tokens"] == 3.5  # (3 + 4) / 2
+    assert got["b"]["mean_tokens"] == 3.0
