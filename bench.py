@@ -71,6 +71,11 @@ HEADLINE = [
     "entity_embeddings",
     "entity_related_embedding",
     "multimodal_features",
+    "multimodal_image_dims",
+    "benchmark_contamination",
+    "source_stats",
+    "sketch_distinct_users",
+    "sketch_value_quantiles",
     "doc_quality",
     "doc_lang_id",
     "q1_pricing_summary",
