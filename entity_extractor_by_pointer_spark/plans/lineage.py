@@ -366,30 +366,102 @@ class StageWriter:
         with open(os.path.join(path, "_stage_schema.json"), "w") as f:
             f.write(df.schema.json())
         out = self.spark.read.schema(df.schema).parquet(path)
-        per_part = (
-            out.groupBy(F.spark_partition_id().alias("part_id"))
-            .agg(F.count(F.lit(1)).alias("rows_out"))
-            .collect()
-        )
+        # per-partition row counts come from the parquet FOOTERS, read
+        # driver-side — the manifest-stats analog of Iceberg's per-file
+        # counts. The previous groupBy(spark_partition_id).count() RE-READ
+        # the entire just-written stage (at crawl scale: a second full scan
+        # of every stage output per run); footers cost one metadata read per
+        # file. part_id = file ordinal in sorted path order (one file per
+        # write task, stable).
+        per_part = self._per_file_counts(path)
         finished = time.time()
         rows = [
-            (self.run_id, stage, int(r["part_id"]), int(r["rows_out"]), started, finished, "done")
-            for r in per_part
+            (self.run_id, stage, pid, int(n), started, finished, "done")
+            for pid, n in per_part
         ] or [(self.run_id, stage, 0, 0, started, finished, "done")]
-        self.spark.createDataFrame(rows, LINEAGE_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.workdir, "_lineage")
+        self._append_rows(
+            "_lineage",
+            rows,
+            [
+                ("run_id", "string"),
+                ("stage", "string"),
+                ("part_id", "int32"),
+                ("rows_out", "int64"),
+                ("started_at", "double"),
+                ("finished_at", "double"),
+                ("status", "string"),
+            ],
         )
-        total = sum(r["rows_out"] for r in per_part)
+        total = sum(n for _pid, n in per_part)
         self.log_metrics(
             stage,
             {"rows_out": float(total), "seconds": finished - started},
         )
         return out
 
+    def _per_file_counts(self, path: str) -> list[tuple[int, int]]:
+        """(part_id, rows) per written parquet data file, from the parquet
+        footers (pyarrow metadata read — no Spark job, no data scan).
+        Recurses through partition subdirs; hidden/_ files skipped."""
+        import pyarrow.parquet as pq
+
+        files: list[str] = []
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(os.path.join(root, n))
+        return [
+            (i, pq.ParquetFile(f).metadata.num_rows)
+            for i, f in enumerate(sorted(files))
+        ]
+
+    def _append_rows(self, table: str, rows: list[tuple], fields) -> None:
+        """Append a handful of driver-side bookkeeping rows as ONE parquet
+        file written with pyarrow — no Spark job at all. The previous
+        ``createDataFrame(...).write.mode("append")`` launched a
+        default-parallelism job per append (4 lineage + 6 metrics appends ≈
+        3 s of pure scheduler/commit overhead per pipeline run; at 1000
+        executors the same rows would still ride a full job). The file is
+        written to a hidden temp name and os.rename'd in (atomic), so a
+        concurrent Spark read of the table dir never sees a partial file;
+        Spark reads the pyarrow files transparently (schema matches
+        LINEAGE_SCHEMA/METRICS_SCHEMA exactly, pytest-pinned)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        type_map = {
+            "string": pa.string(),
+            "int32": pa.int32(),
+            "int64": pa.int64(),
+            "double": pa.float64(),
+        }
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table_pa = pa.table(
+            {
+                name: pa.array(list(col), type=type_map[t])
+                for (name, t), col in zip(fields, cols)
+            }
+        )
+        d = os.path.join(self.workdir, table)
+        os.makedirs(d, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(d, f".{fname}.tmp")
+        pq.write_table(table_pa, tmp)
+        os.rename(tmp, os.path.join(d, fname))
+
     def log_metrics(self, stage: str, kv: dict[str, float]) -> None:
         rows = [(self.run_id, stage, k, float(v)) for k, v in kv.items()]
-        self.spark.createDataFrame(rows, METRICS_SCHEMA).write.mode("append").parquet(
-            os.path.join(self.workdir, "_metrics")
+        self._append_rows(
+            "_metrics",
+            rows,
+            [
+                ("run_id", "string"),
+                ("stage", "string"),
+                ("key", "string"),
+                ("value", "double"),
+            ],
         )
 
     def read_lineage(self) -> DataFrame | None:
