@@ -749,6 +749,18 @@ def q_source_stats(spark, sf_dir):
     return source_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style within-document repetition census: duplicate 3-gram
+    occurrence fraction + top-word share per doc — the single-doc
+    complement of the corpus-level boilerplate census. Pure Catalyst, no
+    shuffle, no UDF."""
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def q_doc_boilerplate(spark, sf_dir):
     """Repeated-passage (boilerplate) census per document: distinct shingle
     count, count with corpus df ≥ 4, and their ratio — the C4/RefinedWeb
@@ -1376,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dims": q_multimodal_image_dims,
         "benchmark_contamination": q_benchmark_contamination,
         "source_stats": q_source_stats,
+        "doc_repetition": q_doc_repetition,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "neardup_embedding_cosine": q_neardup_embedding_cosine,
         "ivf_kmeans_train": q_ivf_kmeans_train,
@@ -2155,6 +2168,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_H64.format(x=_NORM_SQL)} AS fingerprint,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "doc_repetition": f"""
+            WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w
+                        FROM documents),
+            g AS (SELECT doc_id, w,
+                         CASE WHEN len(w) >= 3 THEN
+                             list_transform(generate_series(1, len(w) - 2),
+                                            i -> array_to_string(w[i:i+2], ' '))
+                         ELSE [] END AS sh
+                  FROM dn)
+            SELECT doc_id, len(sh)::INT AS n_grams,
+                   round(CASE WHEN len(sh) = 0 THEN 0.0
+                         ELSE (len(sh) - len(list_distinct(sh))) / len(sh)::DOUBLE
+                         END, 4) AS dup_gram_ratio,
+                   round(CASE WHEN len(w) = 0 THEN 0.0
+                         ELSE list_max(list_transform(list_distinct(w),
+                                  x -> len(list_filter(w, y -> y = x))))
+                              / len(w)::DOUBLE
+                         END, 4) AS top_word_share
+            FROM g
         """,
         "benchmark_contamination": f"""
             WITH dn AS (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w

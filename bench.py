@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_image_dims",
     "benchmark_contamination",
     "source_stats",
+    "doc_repetition",
     "sketch_distinct_users",
     "sketch_value_quantiles",
     "doc_quality",

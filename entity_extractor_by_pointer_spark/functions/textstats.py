@@ -197,6 +197,61 @@ def chunk_documents(
     )
 
 
+def repetition_stats(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+):
+    """(doc_id, n_grams, dup_gram_ratio, top_word_share) — Gopher-style
+    WITHIN-document repetition signals (Rae et al. 2021 §A1.1: docs whose
+    text is dominated by repeated fragments or a single token are
+    low-quality): the fraction of word-``n``-gram occurrences that are
+    duplicates of an earlier occurrence, and the share of the document
+    taken by its single most frequent word. Both 0 for empty/short docs.
+
+    Scale shape: pure per-row Catalyst expressions (split / transform /
+    array_distinct / filter) — no UDF, no shuffle, whole-stage codegen;
+    the top-word scan is O(distinct_words · words) per row, trivial next
+    to the scan that reads the text."""
+    from pyspark.sql import functions as F
+
+    base = docs.select(
+        F.col(id_col), F.split(norm_text(F.col(text_col)), " ").alias("_w")
+    ).select(
+        id_col,
+        "_w",
+        F.expr(
+            f"CASE WHEN size(_w) >= {n} THEN "
+            f"transform(sequence(1, size(_w) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(_w, i, {n}))) "
+            "ELSE array() END"
+        ).alias("_sh"),
+    )
+    n_grams = F.size("_sh")
+    dup_ratio = F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        F.round((n_grams - F.size(F.array_distinct("_sh"))) / n_grams, 4)
+    )
+    top_share = F.when(F.size("_w") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            F.array_max(
+                F.transform(
+                    F.array_distinct("_w"),
+                    lambda x: F.size(F.filter("_w", lambda y: y == x)),
+                )
+            )
+            / F.size("_w"),
+            4,
+        )
+    )
+    return base.select(
+        id_col,
+        n_grams.cast("int").alias("n_grams"),
+        dup_ratio.alias("dup_gram_ratio"),
+        top_share.alias("top_word_share"),
+    )
+
+
 def vocab_edit_pairs(
     docs,
     max_dist: int = 2,

@@ -749,3 +749,30 @@ def test_source_stats_hand_computed(spark):
     assert got["b"]["dup_ratio"] == 0.5
     assert got["a"]["mean_tokens"] == 3.5  # (3 + 4) / 2
     assert got["b"]["mean_tokens"] == 3.0
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition: duplicate-3-gram fraction and top-word
+    share, with short/empty docs at zero grams."""
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),     # 7 grams: abc,bca,cab x2 + abc -> 4 dups
+            (2, "one two three four"),     # 2 distinct grams, no dups
+            (3, "x x x x"),                # 2 grams both 'x x x' -> 1 dup; top share 1.0
+            (4, "hi"),                     # no 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_gram_ratio"], r["top_word_share"])
+        for r in repetition_stats(docs).collect()
+    }
+    # doc 1: 9 words -> 7 grams, distinct {abc, bca, cab} = 3 -> dup 4/7
+    assert got[1] == (7, round(4 / 7, 4), round(3 / 9, 4))
+    assert got[2] == (2, 0.0, 0.25)
+    assert got[3] == (2, 0.5, 1.0)
+    assert got[4] == (0, 0.0, 1.0)  # single word: top share trivially 1
