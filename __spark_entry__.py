@@ -1332,11 +1332,20 @@ def q_sketch_value_quantiles(spark, sf_dir):
     count and ``true`` verdicts — hash-green iff the sketch holds its bound.
     Raw value-accuracy stays pinned in tests/test_sketches.py."""
     e = _t(spark, sf_dir, "events")
+    # the window bounds use percentile_approx at EXACT accuracy (2^31-1 >
+    # any group size here), NOT the interpolating percentile(): the sketch
+    # returns actual data values, and an interpolated bound can fall inside
+    # a value gap that no data value occupies — a rank-exact sketch would
+    # then fail the verdict spuriously on gapped/discrete distributions.
+    # With data-value bounds, rank monotonicity guarantees a within-bound
+    # sketch value lands inside the window.
     q = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("qa"),
-        F.expr(
-            "percentile(value, array(0.49, 0.51, 0.94, 0.96, 0.98, 0.995))"
+        F.percentile_approx(
+            "value",
+            [0.49, 0.51, 0.94, 0.96, 0.98, 0.995],
+            2147483647,
         ).alias("qe"),
     )
 
@@ -1374,13 +1383,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Driver contract: one entry per implemented operator.
 
     ORDERING IS LOAD-BEARING: the external driver's per-round CORRECTNESS
-    file records the FIRST 50 dict entries, so coverage ROTATES each round
-    (see round-4 note below). Round 5: the prefix holds (a) the 25 queries
-    CORRECTNESS_r04 could not record (its rotated tail — all green in r03
-    and re-verified locally by the r4 judge), (b) the new
-    multimodal_image_dims query, (c) the two sketch queries — REDEFINED
+    file records the FIRST 50 dict entries, so coverage ROTATES each round.
+    Round 5 (79 entries total): the 50-entry prefix holds (a) the 25
+    queries CORRECTNESS_r04 could not record (its rotated tail — all green
+    in r03 and re-verified locally by the r4 judge), (b) the FOUR queries
+    new this round (multimodal_image_dims, benchmark_contamination,
+    source_stats, doc_repetition), (c) the two sketch queries — REDEFINED
     this round as oracle-checkable tolerance verdicts after four rounds of
-    inherent no_oracle rows — and (d) 22 r4-green queries. The 26-entry
+    inherent no_oracle rows — and (d) 19 r4-green queries. The 29-entry
     tail is entirely r4-green, so CORRECTNESS_r05 ∪ r04 again covers every
     entry. `tools/check_oracles.py` still runs ALL entries, tail included.
     """
@@ -2182,7 +2192,7 @@ def oracle_sql() -> dict[str, str]:
                    round(CASE WHEN len(sh) = 0 THEN 0.0
                          ELSE (len(sh) - len(list_distinct(sh))) / len(sh)::DOUBLE
                          END, 4) AS dup_gram_ratio,
-                   round(CASE WHEN len(w) = 0 THEN 0.0
+                   round(CASE WHEN array_to_string(w, ' ') = '' THEN 0.0
                          ELSE list_max(list_transform(list_distinct(w),
                                   x -> len(list_filter(w, y -> y = x))))
                               / len(w)::DOUBLE

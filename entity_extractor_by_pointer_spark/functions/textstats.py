@@ -208,7 +208,9 @@ def repetition_stats(
     text is dominated by repeated fragments or a single token are
     low-quality): the fraction of word-``n``-gram occurrences that are
     duplicates of an earlier occurrence, and the share of the document
-    taken by its single most frequent word. Both 0 for empty/short docs.
+    taken by its single most frequent word. Docs too short for an n-gram
+    have dup_gram_ratio 0; empty/whitespace-only docs score 0 on both (an
+    empty doc is not "maximally repetitive").
 
     Scale shape: pure per-row Catalyst expressions (split / transform /
     array_distinct / filter) — no UDF, no shuffle, whole-stage codegen;
@@ -232,7 +234,10 @@ def repetition_stats(
     dup_ratio = F.when(n_grams == 0, F.lit(0.0)).otherwise(
         F.round((n_grams - F.size(F.array_distinct("_sh"))) / n_grams, 4)
     )
-    top_share = F.when(F.size("_w") == 0, F.lit(0.0)).otherwise(
+    # split("") yields [""] (size 1), so the empty-doc guard must test the
+    # rejoined content, not the array size — otherwise an empty doc scores
+    # top_word_share 1.0 and a repetition filter would flag it
+    top_share = F.when(F.concat_ws(" ", "_w") == "", F.lit(0.0)).otherwise(
         F.round(
             F.array_max(
                 F.transform(

@@ -64,13 +64,17 @@ BOILERPLATE_MIN_DF = 4
 # strings, so ~1M rows ≈ tens of MB — the practical broadcast ceiling.
 BOILERPLATE_BROADCAST_HOT_MAX = 1_000_000
 # census short-circuit (the ``resolve_jaccard_cap`` pattern, dedup.py): at
-# or below this many docs the df>=min_df shingle set is bounded well under
-# the broadcast ceiling (each hot shingle consumes >=min_df of the corpus'
-# shingle occurrences), so the hot-set count() action is pure overhead —
-# apply the broadcast hint directly. Above it, census before hinting: a
-# forced hint overrides autoBroadcastJoinThreshold and OOMs at crawl scale
-# instead of degrading. docs.count() on parquet is metadata-only.
-BOILERPLATE_CENSUS_DOCS = 50_000
+# or below this many docs the df>=min_df hot set is bounded by
+# total_shingle_occurrences / min_df ≤ docs · shingles_per_doc / min_df,
+# so with ≲200 distinct shingles per doc (a ~200-word page) the worst case
+# is 20k · 200 / 4 = 1M rows = exactly the broadcast ceiling — the hot-set
+# count() action is pure overhead there and the hint is applied directly.
+# Above the threshold — or whenever the caller TIGHTENS broadcast_hot_max
+# below its default (the shortcut cannot honor a smaller ceiling without
+# counting) — census before hinting: a forced hint overrides
+# autoBroadcastJoinThreshold and OOMs at crawl scale instead of degrading.
+# docs.count() on parquet is metadata-only.
+BOILERPLATE_CENSUS_DOCS = 20_000
 
 
 def boilerplate_stats(
@@ -114,9 +118,14 @@ def boilerplate_stats(
     )
     if broadcast_hot_max <= 0:
         hot_side = hot
-    elif docs.count() <= census_docs_max:
-        # small corpus: the hot set cannot threaten the broadcast ceiling —
-        # skip the census action entirely (round-4 bench regression)
+    elif (
+        broadcast_hot_max >= BOILERPLATE_BROADCAST_HOT_MAX
+        and docs.count() <= census_docs_max
+    ):
+        # small corpus at the DEFAULT ceiling: the hot set cannot threaten
+        # the broadcast ceiling (see BOILERPLATE_CENSUS_DOCS bound) — skip
+        # the census action entirely (round-4 bench regression). A
+        # caller-tightened ceiling always goes through the census.
         hot_side = F.broadcast(hot)
     else:
         hot = cached(hot)  # census + join read the same materialization
@@ -176,16 +185,15 @@ def contamination_flags(
     the corpus is ever collected or re-scanned."""
     from .dedup import shingle_df
 
-    bench_sh = (
-        shingle_df(
-            benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
-            "_bid",
-            bench_text_col,
-            n=n,
-        )
-        .select("shingle")
-        .distinct()
-    )
+    # shingle_df already deduplicates on (_bid, shingle) and _bid is a
+    # constant, so the projection is distinct by construction — no second
+    # exchange needed
+    bench_sh = shingle_df(
+        benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
+        "_bid",
+        bench_text_col,
+        n=n,
+    ).select("shingle")
     bench_sh = cached(bench_sh)
     dim = F.broadcast(bench_sh) if bench_sh.count() <= broadcast_max else bench_sh
     doc_sh = shingle_df(docs, id_col, text_col, n=n)

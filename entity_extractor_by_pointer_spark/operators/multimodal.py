@@ -125,9 +125,15 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
         while i + 3 < n:
             if payload[i] != 0xFF:  # corrupt stream
                 return None
+            # fill bytes: any run of 0xFF may pad before the marker code
+            # (ITU-T T.81 §B.1.1.2) — the marker is the first non-FF byte
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
+            if i + 3 >= n:
+                return None
             marker = payload[i + 1]
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
-                i += 2
+            if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone: SOI, TEM, RSTn carry no length
                 continue
             seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
             if seg_len < 2:

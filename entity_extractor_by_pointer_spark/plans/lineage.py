@@ -271,13 +271,19 @@ class StageWriter:
             with open(manifest) as f:
                 folded = json.load(f).get("folded", [])
         except (OSError, ValueError):
-            folded = []
+            # unreadable manifest: LEAVE it in place so a later call can
+            # retry — deleting it here would permanently re-expose the
+            # double-count window the manifest exists to close
+            return
         inc_root = base + "_inc"
         for d in folded:
             p = os.path.join(inc_root, d)
             if os.path.isdir(p):
                 shutil.rmtree(p)
-        os.remove(manifest)
+        try:
+            os.remove(manifest)
+        except OSError:
+            pass  # increments are gone (idempotent); next call retries
 
     def _detect_partition_cols(self, base: str) -> list[str]:
         """Partition columns of an existing stage dir (from `col=value`

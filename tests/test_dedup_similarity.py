@@ -764,6 +764,7 @@ def test_repetition_stats_hand_computed(spark):
             (2, "one two three four"),     # 2 distinct grams, no dups
             (3, "x x x x"),                # 2 grams both 'x x x' -> 1 dup; top share 1.0
             (4, "hi"),                     # no 3-gram
+            (5, "   "),                    # whitespace-only: everything 0
         ],
         "doc_id long, text string",
     )
@@ -776,3 +777,4 @@ def test_repetition_stats_hand_computed(spark):
     assert got[2] == (2, 0.0, 0.25)
     assert got[3] == (2, 0.5, 1.0)
     assert got[4] == (0, 0.0, 1.0)  # single word: top share trivially 1
+    assert got[5] == (0, 0.0, 0.0)  # empty doc: NOT maximally repetitive

@@ -40,6 +40,20 @@ def test_jpeg_skips_leading_segments_to_sof():
     assert parse_image_header(injected) == ("jpeg", 99, 44, 3)
 
 
+def test_jpeg_fill_bytes_and_tem_marker():
+    """ITU-T T.81 §B.1.1.2: any run of 0xFF may pad before a marker code,
+    and TEM (0x01) is standalone — both must be walked over, not parsed as
+    length-bearing segments."""
+    payload = synth_jpeg(77, 33, components=3)
+    soi, rest = payload[:2], payload[2:]
+    padded = soi + b"\xff" + rest  # fill byte: FF D8 FF FF E0 ...
+    assert parse_image_header(padded) == ("jpeg", 77, 33, 3)
+    with_tem = soi + b"\xff\x01" + rest  # standalone TEM before APP0
+    assert parse_image_header(with_tem) == ("jpeg", 77, 33, 3)
+    both = soi + b"\xff\x01" + b"\xff" + rest
+    assert parse_image_header(both) == ("jpeg", 77, 33, 3)
+
+
 def test_parse_rejects_garbage_and_truncation():
     assert parse_image_header(b"") is None
     assert parse_image_header(b"not an image at all") is None

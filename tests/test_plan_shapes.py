@@ -297,21 +297,21 @@ def test_stamped_store_write_once_and_prune_safety(tmp_path, monkeypatch):
     E._write_once(p1, build)
     assert len(calls) == 1 and os.path.exists(os.path.join(p1, "_SUCCESS"))
 
-    # racing loser: dest exists -> its tmp dir is discarded, store intact
+    # racing loser: another builder lands the dest mid-build -> the loser's
+    # rename fails and its tmp dir is discarded; the winner's store wins
+    race_target = p1 + "_race"
+
     def losing_build(p):
         os.makedirs(p)
         open(os.path.join(p, "_SUCCESS"), "w").close()
-        os.makedirs(p1, exist_ok=True)  # simulate winner landing first
+        # simulate the winner finishing first: dest appears (non-empty)
+        # between the _SUCCESS check and our rename
+        os.makedirs(race_target)
+        open(os.path.join(race_target, "winner_marker"), "w").close()
 
-    loser_target = p1 + "_x"  # force a fresh build path
-    # directly exercise the rename-failure branch: build into tmp while
-    # dest already exists
-    tmp_dir = f"{p1}.tmp{os.getpid()}"
-    os.makedirs(tmp_dir)
-    open(os.path.join(tmp_dir, "_SUCCESS"), "w").close()
-    open(os.path.join(p1, "marker"), "w").close()
-    E._write_once(p1, build)  # _SUCCESS present -> no-op, tmp untouched is fine
-    assert os.path.exists(os.path.join(p1, "marker"))
+    E._write_once(race_target, losing_build)
+    assert os.path.exists(os.path.join(race_target, "winner_marker"))
+    assert not os.path.isdir(f"{race_target}.tmp{os.getpid()}")  # tmp cleaned
 
     # a WARM sibling stamp of the same dataset survives path resolution
     warm = os.path.join(str(tmp_path), os.path.basename(p1)[:-1] + "f")
