@@ -75,6 +75,7 @@ HEADLINE = [
     "benchmark_contamination",
     "source_stats",
     "doc_repetition",
+    "graph_export_ntriples",
     "sketch_distinct_users",
     "sketch_value_quantiles",
     "doc_quality",

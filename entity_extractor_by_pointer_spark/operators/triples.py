@@ -95,6 +95,52 @@ def triple_counts(triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
     return salted_count(triples, ["subj", "pred", "obj"], salt_buckets)
 
 
+NT_BASE = "http://kg.example/"
+
+
+def ntriples_lines(triples: DataFrame, base: str = NT_BASE) -> DataFrame:
+    """(line) — the DISTINCT KG edge set rendered as W3C N-Triples
+    statements ``<base/e/SUBJ> <base/p/PRED> <base/e/OBJ> .`` — the
+    standard interchange line format every triple store / RDF toolchain
+    ingests. Terms are percent-encoded to the IRI-safe set (everything
+    outside ``[A-Za-z0-9_-]`` → ``%XX`` of each UTF-8 byte), so arbitrary
+    entity surfaces survive round-trips.
+
+    Scale shape: one distinct over (subj, pred, obj) — the same shuffle
+    any edge-set consumer pays — then pure per-row string expressions
+    (whole-stage codegen; no UDF)."""
+
+    def enc(col: str):
+        # percent-encode each disallowed byte: aggregate over the UTF-8
+        # bytes of every disallowed char (url_encode would also escape
+        # nothing we must keep, but is not available as a column expr
+        # before Spark 3.4's url_encode — and its space→'+' rule is wrong
+        # for IRIs anyway)
+        return F.expr(
+            "concat_ws('', transform(split("
+            + col
+            + ", ''), c -> CASE WHEN c RLIKE '^[A-Za-z0-9_-]$' THEN c "
+            "ELSE concat_ws('', transform(sequence(1, octet_length(c)), "
+            "i -> concat('%', upper(hex(substring(encode(c, 'UTF-8'), i, 1)))))) END))"
+        )
+
+    t = triples.select("subj", "pred", "obj").distinct()
+    return t.select(
+        F.concat(
+            F.lit(f"<{base}e/"), enc("subj"),
+            F.lit(f"> <{base}p/"), enc("pred"),
+            F.lit(f"> <{base}e/"), enc("obj"),
+            F.lit("> ."),
+        ).alias("line")
+    )
+
+
+def write_ntriples(triples: DataFrame, path: str, base: str = NT_BASE) -> None:
+    """Materialize the KG as an ``.nt`` text dataset (one statement per
+    line) — the export sink for RDF toolchains."""
+    ntriples_lines(triples, base).write.mode("overwrite").text(path)
+
+
 def write_triples(triples: DataFrame, path: str, buckets: int = TRIPLE_BUCKETS) -> None:
     """Materialize the graph table partitioned by subject hash."""
     (

@@ -456,3 +456,32 @@ def test_entity_related_by_embedding_ranks_by_cosine(spark):
         release_all()
     assert got[("E1", 1)] == "E2" and got[("E2", 1)] == "E1"
     assert got[("E1", 2)] == "E3"  # orthogonal last
+
+
+def test_ntriples_export_encoding_and_sink(spark, tmp_path):
+    """N-Triples rendering: IRI-unsafe characters percent-encoded per
+    UTF-8 byte, duplicate edges collapsed, and the text sink round-trips."""
+    from entity_extractor_by_pointer_spark.operators.triples import (
+        ntriples_lines,
+        write_ntriples,
+    )
+
+    tr = spark.createDataFrame(
+        [
+            ("ORG_SPARK", "near", "LOC_中国"),
+            ("A B", "rel/x", "c%d"),
+            ("ORG_SPARK", "near", "LOC_中国"),  # duplicate edge
+        ],
+        "subj string, pred string, obj string",
+    )
+    lines = sorted(r["line"] for r in ntriples_lines(tr).collect())
+    assert lines == [
+        "<http://kg.example/e/A%20B> <http://kg.example/p/rel%2Fx> "
+        "<http://kg.example/e/c%25d> .",
+        "<http://kg.example/e/ORG_SPARK> <http://kg.example/p/near> "
+        "<http://kg.example/e/LOC_%E4%B8%AD%E5%9B%BD> .",
+    ]
+    out = str(tmp_path / "kg_nt")
+    write_ntriples(tr, out)
+    back = sorted(r["value"] for r in spark.read.text(out).collect())
+    assert back == lines
