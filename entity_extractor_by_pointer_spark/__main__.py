@@ -63,6 +63,19 @@ def main(argv: list[str] | None = None) -> int:
         "KEEP_LAST increments into the base tables and drop orphans "
         "(the Iceberg expireSnapshots analog)",
     )
+    parser.add_argument(
+        "--compact-stage",
+        metavar="STAGE",
+        help="small-file compaction of an existing --workdir stage base "
+        "table (the Iceberg rewriteDataFiles analog); see --target-file-mb",
+    )
+    parser.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        metavar="MB",
+        help="target data-file size for --compact-stage (default 128)",
+    )
     args = parser.parse_args(argv)
     if args.show_model_info:
         from .functions.model import NerConfig, PointerNerModel
@@ -88,10 +101,16 @@ def main(argv: list[str] | None = None) -> int:
     # and --graph-stats compose (sequential execution over one session) —
     # the old early-return maintenance branch silently ignored a combined
     # --graph-stats (round-4 ADVICE)
-    if args.profile_stage or args.expire_snapshots is not None or args.graph_stats:
+    if (
+        args.profile_stage
+        or args.expire_snapshots is not None
+        or args.graph_stats
+        or args.compact_stage
+    ):
         if not args.workdir:
             parser.error(
-                "--profile-stage/--expire-snapshots/--graph-stats need --workdir"
+                "--profile-stage/--expire-snapshots/--compact-stage/"
+                "--graph-stats need --workdir"
             )
         from .plans.lineage import StageWriter
         from .session import get_spark as _get_spark
@@ -113,6 +132,14 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 f"expired {len(res['expired'])} snapshot(s), "
                 f"removed {len(res['orphans_removed'])} orphan dir(s)"
+            )
+        if args.compact_stage:
+            res = writer.compact_stage(
+                args.compact_stage, target_file_bytes=args.target_file_mb << 20
+            )
+            print(
+                f"compact '{args.compact_stage}': rewritten={res['rewritten']} "
+                f"files {res['files_before']} -> {res['files_after']}"
             )
         if args.graph_stats:
             from .operators.graph import entity_degrees, pagerank, triangle_counts

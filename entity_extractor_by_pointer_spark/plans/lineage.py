@@ -226,6 +226,74 @@ class StageWriter:
                     orphans.append(f"{stage}_inc/{d}")
         return {"expired": expired, "orphans_removed": orphans}
 
+    def compact_stage(
+        self, stage: str, target_file_bytes: int = 128 << 20
+    ) -> dict:
+        """Small-file compaction of a stage BASE table — the Iceberg
+        ``rewriteDataFiles`` maintenance analog: many small part files
+        (the residue of incremental folds and low-volume stages) are
+        rewritten into ~``target_file_bytes`` files, preserving the
+        partition layout. Uses the SAME crash-safe tmp/old swap as
+        ``expire_snapshots`` (every crash point recoverable by
+        ``_recover_compaction``); increment snapshot dirs are untouched,
+        so readers see identical rows throughout.
+
+        Returns {"rewritten": bool, "files_before": n, "files_after": n}.
+        """
+        import math
+        import shutil
+
+        self._recover_compaction(stage)
+        base = self._stage_path(stage)
+        files = []
+        for root, _dirs, names in os.walk(base):
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                    files.append(os.path.join(root, n))
+        total = sum(os.path.getsize(f) for f in files)
+        part_cols = self._detect_partition_cols(base)
+        target_n = max(1, math.ceil(total / target_file_bytes))
+        # floor below which a rewrite cannot help: target_n files for a
+        # flat layout, one file per live partition dir for a partitioned one
+        floor = len({os.path.dirname(f) for f in files}) if part_cols else target_n
+        if len(files) <= floor:
+            return {
+                "rewritten": False,
+                "files_before": len(files),
+                "files_after": len(files),
+            }
+        df = self._read_root(base)
+        if part_cols:
+            writer = df.repartition(*part_cols).write.mode("overwrite").partitionBy(
+                *part_cols
+            )
+        else:
+            writer = df.repartition(target_n).write.mode("overwrite")
+        tmp = base + ".compact_tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        writer.parquet(tmp)
+        with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        old = base + ".compact_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
+        after = 0
+        for root, _dirs, names in os.walk(base):
+            after += sum(
+                1
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            )
+        return {
+            "rewritten": True,
+            "files_before": len(files),
+            "files_after": after,
+        }
+
     def _recover_compaction(self, stage: str) -> None:
         """Finish or roll back a compaction swap a crash left half-done.
 

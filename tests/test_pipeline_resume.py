@@ -460,3 +460,70 @@ def test_cli_profile_and_expire_snapshots(spark, tmp_path, capsys):
         tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
     )
     assert pipe.writer.list_snapshots() == []
+
+
+def test_compact_stage_small_files(spark, tmp_path):
+    """rewriteDataFiles analog: a flat stage's many small part files are
+    rewritten into the target count with identical reader-visible rows;
+    a partitioned stage keeps its partition dirs (one file per live
+    partition); an already-compact stage is a no-op."""
+    import os
+
+    wd = str(tmp_path / "cmp")
+    pipe = KgPipeline(spark, wd, "cmp")
+    pipe.run(generate_pages(spark, 80, partitions=8))
+
+    def data_files(stage):
+        out = []
+        for root, _dirs, names in os.walk(os.path.join(wd, stage)):
+            out += [
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet") and not n.startswith(("_", "."))
+            ]
+        return out
+
+    before_rows = sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    n_before = len(data_files("pages"))
+    assert n_before > 1  # 8 input partitions -> 8 part files
+    res = pipe.writer.compact_stage("pages", target_file_bytes=1 << 30)
+    assert res["rewritten"] and res["files_after"] == 1
+    assert len(data_files("pages")) == 1
+    assert before_rows == sorted(
+        tuple(r) for r in pipe.writer.read_stage("pages").select("url").collect()
+    )
+    # idempotent: second call is a no-op
+    res2 = pipe.writer.compact_stage("pages", target_file_bytes=1 << 30)
+    assert not res2["rewritten"] and res2["files_after"] == 1
+
+    # partitioned stage: layout preserved, one file per live partition dir
+    tri_rows = sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("triples")
+        .select("subj", "pred", "obj", "url")
+        .collect()
+    )
+    res3 = pipe.writer.compact_stage("triples", target_file_bytes=1 << 30)
+    tri_dirs = {os.path.dirname(f) for f in data_files("triples")}
+    assert all("subj_bucket=" in d for d in tri_dirs)
+    if res3["rewritten"]:
+        assert len(data_files("triples")) == len(tri_dirs)
+    assert tri_rows == sorted(
+        tuple(r)
+        for r in pipe.writer.read_stage("triples")
+        .select("subj", "pred", "obj", "url")
+        .collect()
+    )
+
+
+def test_cli_compact_stage(spark, tmp_path, capsys):
+    from entity_extractor_by_pointer_spark.__main__ import main
+
+    wd = str(tmp_path / "cli_cmp")
+    pipe = KgPipeline(spark, wd, "c1")
+    pipe.run(generate_pages(spark, 40, partitions=4))
+    rc = main(["--compact-stage", "pages", "--target-file-mb", "1024", "--workdir", wd])
+    out = capsys.readouterr().out
+    assert rc == 0 and "compact 'pages': rewritten=True" in out
