@@ -48,10 +48,19 @@ def pagerank(
     checkpoint_every: int = 3,
     seeds: tuple[str, ...] | None = None,
     weight_col: str | None = None,
+    dangling: str = "absorb",
 ) -> DataFrame:
     """(entity, rank) after ``iterations`` damped PageRank steps.
 
     rank₀ = 1/N; rank_{t+1}(v) = (1−d)/N + d·Σ_{u→v} rank_t(u)/outdeg(u).
+
+    ``dangling``: ``"absorb"`` (default — sink nodes leak their mass, the
+    variant the SQL oracle unrolls) or ``"redistribute"`` (the classic
+    Brin–Page treatment: each iteration adds d·dangling_mass/N to every
+    node, conserving Σrank = 1 — numpy-pinned by pytest). Redistribution
+    costs one extra tiny aggregate + a broadcast 1-row cross join per
+    iteration; the dangling set is the anti-join of nodes against edge
+    subjects, computed once outside the loop.
 
     ``seeds`` switches to PERSONALIZED PageRank: the teleport mass lands
     only on the seed set (rank₀ = 1[v∈S]/|S|, base term (1−d)/|S| on seeds,
@@ -113,6 +122,22 @@ def pagerank(
         base_col = F.when(in_s, F.lit((1.0 - damping) / len(seeds))).otherwise(
             F.lit(0.0)
         )
+    if dangling not in ("absorb", "redistribute"):
+        raise ValueError(f"dangling must be 'absorb' or 'redistribute', got {dangling!r}")
+    if dangling == "redistribute" and seeds is not None:
+        # personalized PR redistributes dangling mass to the SEED set, a
+        # different recursion — not implemented; fail loudly rather than
+        # silently computing the uniform-teleport hybrid
+        raise ValueError("dangling='redistribute' is for global PageRank (no seeds)")
+    dangling_nodes = None
+    if dangling == "redistribute":
+        dangling_nodes = cached(
+            nodes.join(
+                edges_w.select(F.col("subj").alias("entity")).distinct(),
+                "entity",
+                "left_anti",
+            )
+        )
     ranks = nodes.withColumn("rank", r0)
     contrib_expr = (
         F.col("rank") / F.col("out_w")
@@ -129,14 +154,27 @@ def pagerank(
             .groupBy("entity")
             .agg(F.sum("contrib").alias("inflow"))
         )
-        ranks = (
-            nodes.join(contribs, "entity", "left")
-            .fillna(0.0, subset=["inflow"])
-            .select(
+        new_ranks = nodes.join(contribs, "entity", "left").fillna(
+            0.0, subset=["inflow"]
+        )
+        if dangling_nodes is not None:
+            dm = dangling_nodes.join(ranks, "entity").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+            )
+            new_ranks = new_ranks.crossJoin(F.broadcast(dm)).select(
+                "entity",
+                (
+                    base_col
+                    + F.lit(damping)
+                    * (F.col("inflow") + F.col("_dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+        else:
+            new_ranks = new_ranks.select(
                 "entity",
                 (base_col + F.lit(damping) * F.col("inflow")).alias("rank"),
             )
-        )
+        ranks = new_ranks
         if (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("entity", F.round("rank", 6).alias("rank"))

@@ -485,3 +485,80 @@ def test_ntriples_export_encoding_and_sink(spark, tmp_path):
     write_ntriples(tr, out)
     back = sorted(r["value"] for r in spark.read.text(out).collect())
     assert back == lines
+
+
+def test_pagerank_dangling_redistribution_matches_numpy(spark):
+    """dangling='redistribute' (Brin-Page treatment) vs numpy power
+    iteration on a random graph WITH dangling sinks: ranks match to the
+    rounding grid and total mass is conserved at 1."""
+    import random
+
+    import pytest
+
+    from entity_extractor_by_pointer_spark.cache import release_all
+
+    rng = random.Random(21)
+    n_nodes = 60
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        # nodes 50-59 are forced sinks: never sources
+        if a != b and a < 50:
+            edges.add((f"n{a}", f"n{b}"))
+    rows = [(a, "p", b, "u") for a, b in edges]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string, url string")
+    try:
+        got = {
+            r["entity"]: r["rank"]
+            for r in pagerank(t, iterations=5, dangling="redistribute").collect()
+        }
+        nodes = sorted({x for e in edges for x in e})
+        out_deg = {}
+        for a, _b in edges:
+            out_deg[a] = out_deg.get(a, 0) + 1
+        n = len(nodes)
+        rank = {v: 1.0 / n for v in nodes}
+        for _ in range(5):
+            dm = sum(rank[v] for v in nodes if v not in out_deg)
+            inflow = {v: 0.0 for v in nodes}
+            for a, b in edges:
+                inflow[b] += rank[a] / out_deg[a]
+            rank = {
+                v: (1 - 0.85) / n + 0.85 * (inflow[v] + dm / n) for v in nodes
+            }
+        assert abs(sum(got.values()) - 1.0) < 1e-4  # mass conserved
+        for v in nodes:
+            assert abs(got[v] - round(rank[v], 6)) <= 2e-6, (v, got[v], rank[v])
+        # seeds + redistribute is a different recursion: fail loudly
+        with pytest.raises(ValueError, match="redistribute"):
+            pagerank(t, iterations=1, seeds=("n1",), dangling="redistribute")
+    finally:
+        release_all()
+
+
+def test_repetition_stats_matches_python_reference_randomized(spark):
+    """Randomized word-soup docs vs a pure-python reference for both
+    repetition signals."""
+    import random
+
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        repetition_stats,
+    )
+
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["dup_gram_ratio"], r["top_word_share"])
+        for r in repetition_stats(docs).collect()
+    }
+    for i, text in rows:
+        w = text.split()
+        grams = [" ".join(w[j : j + 3]) for j in range(len(w) - 2)] if len(w) >= 3 else []
+        dup = round((len(grams) - len(set(grams))) / len(grams), 4) if grams else 0.0
+        top = round(max(w.count(x) for x in set(w)) / len(w), 4) if w else 0.0
+        assert got[i] == (len(grams), dup, top), (i, text, got[i])
