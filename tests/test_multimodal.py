@@ -81,3 +81,34 @@ def test_image_dims_plan_is_narrow(spark):
     media = spark.createDataFrame([(1, synth_png(2, 2))], "media_id long, payload binary")
     plan = image_dims(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_parse_image_header_never_raises_on_arbitrary_bytes():
+    """Robustness over crawl garbage: the parser must return None or a
+    well-formed tuple for ANY byte string — never raise (hypothesis
+    fuzz, plus adversarial prefixes that mimic real headers)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz(payload):
+        out = parse_image_header(payload)
+        assert out is None or (
+            isinstance(out, tuple)
+            and len(out) == 4
+            and out[0] in ("png", "jpeg")
+            and out[1] > 0
+            and out[2] > 0
+        )
+
+    fuzz()
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64))
+    def fuzz_with_magic(tail):
+        for prefix in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"\xff\xd8\xff"):
+            out = parse_image_header(prefix + tail)
+            assert out is None or isinstance(out, tuple)
+
+    fuzz_with_magic()
