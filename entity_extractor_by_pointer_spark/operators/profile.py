@@ -71,3 +71,63 @@ def profile_table(
         "min_val",
         "max_val",
     )
+
+
+def profile_drift(
+    old: DataFrame,
+    new: DataFrame,
+    columns: list[str] | None = None,
+    null_ratio_alert: float = 0.01,
+    distinct_ratio_alert: float = 0.5,
+) -> DataFrame:
+    """(col_name, n_rows_old, n_rows_new, null_ratio_old, null_ratio_new,
+    distinct_ratio_old, distinct_ratio_new, range_changed, alert) — the
+    snapshot-to-snapshot DRIFT report an ingest pipeline checks before
+    trusting a new crawl drop against the previous one (pair it with
+    ``StageWriter.read_stage(as_of=...)`` for Iceberg-style time-travel
+    inputs). ``alert`` fires when the null ratio jumps more than
+    ``null_ratio_alert`` (absolute) or the distinct-per-row ratio moves by
+    more than ``distinct_ratio_alert`` (relative) — the two classic silent
+    schema-rot signals; ``range_changed`` flags min/max movement.
+
+    Scale shape: two ``profile_table`` single-aggregation scans + a join on
+    the tiny (one row per column) profile frames."""
+    po = profile_table(old, columns)
+    pn = profile_table(new, columns)
+
+    def ratios(p: DataFrame, tag: str) -> DataFrame:
+        return p.select(
+            "col_name",
+            F.col("n_rows").alias(f"n_rows_{tag}"),
+            F.round(F.col("n_nulls") / F.greatest(F.col("n_rows"), F.lit(1)), 6).alias(
+                f"null_ratio_{tag}"
+            ),
+            F.round(
+                F.col("n_distinct") / F.greatest(F.col("n_rows"), F.lit(1)), 6
+            ).alias(f"distinct_ratio_{tag}"),
+            F.col("min_val").alias(f"min_{tag}"),
+            F.col("max_val").alias(f"max_{tag}"),
+        )
+
+    j = ratios(po, "old").join(ratios(pn, "new"), "col_name")
+    null_jump = (
+        F.abs(F.col("null_ratio_new") - F.col("null_ratio_old")) > null_ratio_alert
+    )
+    distinct_jump = (
+        F.abs(F.col("distinct_ratio_new") - F.col("distinct_ratio_old"))
+        > F.lit(distinct_ratio_alert) * F.greatest(F.col("distinct_ratio_old"), F.lit(1e-12))
+    )
+    return j.select(
+        "col_name",
+        "n_rows_old",
+        "n_rows_new",
+        "null_ratio_old",
+        "null_ratio_new",
+        "distinct_ratio_old",
+        "distinct_ratio_new",
+        (
+            (F.col("min_old") != F.col("min_new"))
+            | (F.col("max_old") != F.col("max_new"))
+        ).alias("range_changed"),
+        (null_jump | distinct_jump).alias("alert"),
+    )
