@@ -74,6 +74,7 @@ HEADLINE = [
     "multimodal_image_dims",
     "benchmark_contamination",
     "source_stats",
+    "source_balance",
     "doc_repetition",
     "graph_export_ntriples",
     "sketch_distinct_users",

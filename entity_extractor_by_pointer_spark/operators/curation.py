@@ -255,6 +255,61 @@ def source_stats(
     )
 
 
+# per-source share ceiling for domain balancing, in integer percent so the
+# keep-threshold arithmetic is exact integer math on both engines
+BALANCE_MAX_SHARE_PCT = 20
+# source-threshold dim broadcast gate (same policy as every dim gate):
+# distinct sources are bounded in practice, but never force an unbounded hint
+BALANCE_BROADCAST_MAX = 1_000_000
+
+
+def balance_sources(
+    docs: DataFrame,
+    max_share_pct: int = BALANCE_MAX_SHARE_PCT,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    broadcast_max: int = BALANCE_BROADCAST_MAX,
+) -> DataFrame:
+    """(doc_id, source, keep) — DOMAIN BALANCING, the C4/RefinedWeb-style
+    downsampling of over-represented sources: any source holding more than
+    ``max_share_pct`` % of the corpus is thinned to (approximately) that
+    cap by a DETERMINISTIC content-hash draw, so the decision is stable
+    across runs, partitionings and engines — no RNG, no resample drift
+    between pipeline stages.
+
+    Exact integer arithmetic end to end (engine-mirrorable): with
+    ``cap = n·pct/100`` (integer division) a source of ``c`` docs keeps
+    bucket values below ``min(10^6, cap·10^6 / c)`` where the bucket is
+    ``md5-int64(doc_id) mod 10^6`` — so under-cap sources keep everything
+    and over-cap sources keep ≈ cap docs, uniformly by hash.
+
+    Scale shape: one map-side-combined per-source count + a 1-row total,
+    joined back as a census-gated broadcast dim; the draw itself is a pure
+    per-row expression."""
+    from ..functions.textstats import md5_int64
+
+    base = docs.select(F.col(id_col), F.col(source_col).alias("source"))
+    totals = base.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    n_total = base.count()
+    cap = (n_total * max_share_pct) // 100
+    # DIV (integer division on longs), not `/`: double division loses
+    # precision once cap·10^6 passes 2^53 (a 10^10-doc corpus) and the
+    # truncated cast would disagree with the oracle's exact integer result
+    thr = totals.select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr(f"CAST({cap}L * 1000000L DIV _c AS BIGINT)"),
+        ).alias("_thr"),
+    )
+    thr = cached(thr)
+    dim = F.broadcast(thr) if thr.count() <= broadcast_max else thr
+    bucket = F.pmod(md5_int64(F.col(id_col).cast("string")), F.lit(1_000_000))
+    return base.join(dim, "source").select(
+        id_col, "source", (bucket < F.col("_thr")).alias("keep")
+    )
+
+
 ADAPTIVE_QUALITY_PCT = 0.25
 
 

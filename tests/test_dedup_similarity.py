@@ -778,3 +778,30 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3] == (2, 0.5, 1.0)
     assert got[4] == (0, 0.0, 1.0)  # single word: top share trivially 1
     assert got[5] == (0, 0.0, 0.0)  # empty doc: NOT maximally repetitive
+
+
+def test_balance_sources_caps_dominant_source(spark):
+    """Domain balancing: a source above the share cap is thinned to ~cap
+    docs by the deterministic hash draw; under-cap sources keep everything;
+    the decision is stable across partitionings."""
+    from entity_extractor_by_pointer_spark.operators.curation import balance_sources
+
+    rows = [(i, "t", "big") for i in range(900)] + [
+        (1000 + i, "t", f"s{i % 4}") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = balance_sources(docs, max_share_pct=20).collect()
+    kept = {}
+    for r in out:
+        kept.setdefault(r["source"], [0, 0])
+        kept[r["source"]][0] += 1
+        kept[r["source"]][1] += int(r["keep"])
+    # cap = 1000*20//100 = 200; 'big' (900 docs) thinned to ~200 (hash
+    # uniformity: generous ±40% window), small sources untouched
+    assert kept["big"][0] == 900
+    assert 120 <= kept["big"][1] <= 280, kept["big"]
+    for s in ("s0", "s1", "s2", "s3"):
+        assert kept[s][1] == kept[s][0]  # all kept
+    # determinism across partitionings
+    again = balance_sources(docs.repartition(13), max_share_pct=20).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
