@@ -197,6 +197,32 @@ def chunk_documents(
     )
 
 
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization as an Arrow-vectorized pandas UDF — the
+    standard crawl-text cleanup (decomposed accents, compatibility forms
+    from copy-pasted PDFs) that makes exact dedup and tokenization behave:
+    'cafe' + COMBINING ACUTE and 'café' must fingerprint identically.
+    Catalyst has no NFC builtin, so this is one of the few legitimate
+    Python column functions in the repo (batch-vectorized via Arrow, never
+    per-row Python). DuckDB mirror: ``nfc_normalize``."""
+    import unicodedata
+
+    import pandas as pd
+
+    from pyspark.sql.types import StringType
+
+    def _nfc_fn(s):
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # real type objects, not strings: this module uses `from __future__
+    # import annotations`, which would stringify inline hints and break
+    # pandas_udf's signature inference
+    _nfc_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_nfc_fn, StringType())(col)
+
+
 def repetition_stats(
     docs,
     text_col: str = "text",

@@ -805,3 +805,31 @@ def test_balance_sources_caps_dominant_source(spark):
     # determinism across partitionings
     again = balance_sources(docs.repartition(13), max_share_pct=20).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_nfc_normalize_composes_and_fingerprints_agree(spark):
+    """NFC: decomposed accents compose (length shrinks), idempotent on
+    already-composed text, null-safe — and the cleanup makes exact-dedup
+    fingerprints of the two forms identical."""
+    from entity_extractor_by_pointer_spark.functions.textstats import (
+        fingerprint64,
+        nfc_normalize,
+    )
+    from pyspark.sql import functions as F
+
+    decomposed = "café lait"     # e + COMBINING ACUTE
+    composed = "caf\u00e9 lait"  # precomposed e-acute
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, None)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n"], r["fp"])
+        for r in docs.select(
+            "doc_id",
+            F.length(nfc_normalize(F.col("text"))).alias("n"),
+            fingerprint64(nfc_normalize(F.col("text"))).alias("fp"),
+        ).collect()
+    }
+    assert out[1][0] == out[2][0] == len(composed)
+    assert out[1][1] == out[2][1]  # forms dedup together post-NFC
+    assert out[3] == (None, None)
