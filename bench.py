@@ -75,6 +75,7 @@ HEADLINE = [
     "benchmark_contamination",
     "source_stats",
     "source_balance",
+    "doc_nfc",
     "doc_repetition",
     "graph_export_ntriples",
     "sketch_distinct_users",
