@@ -264,16 +264,39 @@ def main() -> None:
 
     # per-query delta vs the previous round's recorded bench (regression
     # visibility — VERDICT r1 item 7); ratio < 1.0 = faster than last round
+    # per-query ratio vs the LATEST recorded round (regression visibility;
+    # <1.0 = faster than last round). Anchoring to round 1 stopped being
+    # informative once most queries post-dated it.
     vs_prev: dict[str, float] | None = None
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    if os.path.exists(prev_path):
+    prev_round = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re as _re
+
+    rounds = sorted(
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    )
+    if rounds:
+        prev_round = rounds[-1]
         try:
-            with open(prev_path) as f:
-                prev = json.load(f).get("parsed", {}).get("queries", {})
+            with open(os.path.join(here, f"BENCH_r{prev_round:02d}.json")) as f:
+                rec = json.load(f)
+            prev = (rec.get("parsed") or {}).get("queries")
+            if not prev:
+                # driver records sometimes carry only a TRUNCATED "tail"
+                # string of the JSON line (parsed: null) — recover the
+                # per-query seconds from it; first occurrence per key wins
+                # (ratio sections repeat the names later in the line)
+                prev = {}
+                for k, v in _re.findall(
+                    r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', rec.get("tail", "")
+                ):
+                    prev.setdefault(k, float(v))
             vs_prev = {
                 k: round(v / prev[k], 2) for k, v in queries.items() if prev.get(k)
             }
-        except (json.JSONDecodeError, KeyError, ZeroDivisionError):
+        except (OSError, json.JSONDecodeError, KeyError, ZeroDivisionError):
             vs_prev = None
 
     out = {
@@ -281,7 +304,7 @@ def main() -> None:
         "value": round(sum(queries.values()), 2),
         "unit": "sec",
         "queries": queries,
-        "vs_r01": vs_prev,
+        f"vs_r{prev_round:02d}" if prev_round else "vs_prev": vs_prev,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "pipeline": pipeline,
         "scaling": scaling,
