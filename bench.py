@@ -262,8 +262,6 @@ def main() -> None:
     else:
         spark.stop()
 
-    # per-query delta vs the previous round's recorded bench (regression
-    # visibility — VERDICT r1 item 7); ratio < 1.0 = faster than last round
     # per-query ratio vs the LATEST recorded round (regression visibility;
     # <1.0 = faster than last round). Anchoring to round 1 stopped being
     # informative once most queries post-dated it.
@@ -286,11 +284,14 @@ def main() -> None:
             if not prev:
                 # driver records sometimes carry only a TRUNCATED "tail"
                 # string of the JSON line (parsed: null) — recover the
-                # per-query seconds from it; first occurrence per key wins
-                # (ratio sections repeat the names later in the line)
+                # per-query seconds from it. Scan ONLY the substring before
+                # the ratio section ('"vs_r'): keys whose seconds were cut
+                # off reappear there as ratios, and picking those up would
+                # fabricate phantom 10x regressions
+                seconds_part = rec.get("tail", "").split('"vs_r')[0]
                 prev = {}
                 for k, v in _re.findall(
-                    r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', rec.get("tail", "")
+                    r'"([a-z0-9_]+)": ([0-9]+\.[0-9]+)', seconds_part
                 ):
                     prev.setdefault(k, float(v))
             vs_prev = {

@@ -134,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
                 f"removed {len(res['orphans_removed'])} orphan dir(s)"
             )
         if args.compact_stage:
+            if args.target_file_mb <= 0:
+                parser.error("--target-file-mb must be positive")
             res = writer.compact_stage(
                 args.compact_stage, target_file_bytes=args.target_file_mb << 20
             )

@@ -175,7 +175,11 @@ def pagerank(
                 (base_col + F.lit(damping) * F.col("inflow")).alias("rank"),
             )
         ranks = new_ranks
-        if (it + 1) % checkpoint_every == 0:
+        # redistribute references ranks TWICE per iteration (contribs join
+        # + dangling-mass aggregate); without per-iteration lineage
+        # truncation the rank subtree doubles each round between the
+        # periodic checkpoints — so checkpoint every iteration there
+        if dangling_nodes is not None or (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("entity", F.round("rank", 6).alias("rank"))
 

@@ -81,14 +81,16 @@ def profile_drift(
     distinct_ratio_alert: float = 0.5,
 ) -> DataFrame:
     """(col_name, n_rows_old, n_rows_new, null_ratio_old, null_ratio_new,
-    distinct_ratio_old, distinct_ratio_new, range_changed, alert) — the
-    snapshot-to-snapshot DRIFT report an ingest pipeline checks before
+    distinct_ratio_old, distinct_ratio_new, schema_changed, range_changed,
+    alert) — the snapshot-to-snapshot DRIFT report an ingest pipeline checks before
     trusting a new crawl drop against the previous one (pair it with
     ``StageWriter.read_stage(as_of=...)`` for Iceberg-style time-travel
     inputs). ``alert`` fires when the null ratio jumps more than
-    ``null_ratio_alert`` (absolute) or the distinct-per-row ratio moves by
-    more than ``distinct_ratio_alert`` (relative) — the two classic silent
-    schema-rot signals; ``range_changed`` flags min/max movement.
+    ``null_ratio_alert`` (absolute), the distinct-per-row ratio moves by
+    more than ``distinct_ratio_alert`` (relative), or a column appears /
+    disappears between snapshots (``schema_changed``, reported via a full
+    outer join — the classic silent schema-rot signals); ``range_changed``
+    flags min/max movement with null-safe comparisons.
 
     Scale shape: two ``profile_table`` single-aggregation scans + a join on
     the tiny (one row per column) profile frames."""
@@ -109,7 +111,11 @@ def profile_drift(
             F.col("max_val").alias(f"max_{tag}"),
         )
 
-    j = ratios(po, "old").join(ratios(pn, "new"), "col_name")
+    # FULL OUTER on col_name: a column added or removed between snapshots
+    # is itself the most drastic drift (classic schema rot) — an inner join
+    # would silently drop it from the report
+    j = ratios(po, "old").join(ratios(pn, "new"), "col_name", "full_outer")
+    schema_changed = F.col("n_rows_old").isNull() | F.col("n_rows_new").isNull()
     null_jump = (
         F.abs(F.col("null_ratio_new") - F.col("null_ratio_old")) > null_ratio_alert
     )
@@ -125,9 +131,17 @@ def profile_drift(
         "null_ratio_new",
         "distinct_ratio_old",
         "distinct_ratio_new",
+        schema_changed.alias("schema_changed"),
+        # null-SAFE comparisons: an all-null column profiles to NULL
+        # min/max, and (NULL != x) would evaluate to NULL — masking the
+        # very change (all-null → populated) the flag exists to surface
         (
-            (F.col("min_old") != F.col("min_new"))
-            | (F.col("max_old") != F.col("max_new"))
+            (~F.col("min_old").eqNullSafe(F.col("min_new")))
+            | (~F.col("max_old").eqNullSafe(F.col("max_new")))
         ).alias("range_changed"),
-        (null_jump | distinct_jump).alias("alert"),
+        (
+            schema_changed
+            | F.coalesce(null_jump, F.lit(True))
+            | F.coalesce(distinct_jump, F.lit(True))
+        ).alias("alert"),
     )

@@ -115,11 +115,16 @@ def ntriples_lines(triples: DataFrame, base: str = NT_BASE) -> DataFrame:
         # bytes of every disallowed char (url_encode would also escape
         # nothing we must keep, but is not available as a column expr
         # before Spark 3.4's url_encode — and its space→'+' rule is wrong
-        # for IRIs anyway)
+        # for IRIs anyway). The explicit `c = ''` arm guards the
+        # empty-string TERM: split('', '') yields [''] and
+        # sequence(1, octet_length('')) is the DESCENDING [1, 0] — without
+        # the guard an empty subj/pred/obj rendered as '%%', which is not
+        # valid percent-encoding
         return F.expr(
             "concat_ws('', transform(split("
             + col
-            + ", ''), c -> CASE WHEN c RLIKE '^[A-Za-z0-9_-]$' THEN c "
+            + ", ''), c -> CASE WHEN c = '' THEN '' "
+            "WHEN c RLIKE '^[A-Za-z0-9_-]$' THEN c "
             "ELSE concat_ws('', transform(sequence(1, octet_length(c)), "
             "i -> concat('%', upper(hex(substring(encode(c, 'UTF-8'), i, 1)))))) END))"
         )

@@ -182,31 +182,9 @@ class StageWriter:
             df = self._read_root(base)
             for p in dirs:
                 df = df.unionByName(self._read_root(base, p))
-            part_cols = self._detect_partition_cols(base)
-            tmp = base + ".compact_tmp"
-            if os.path.isdir(tmp):  # stale tmp from an aborted attempt
-                shutil.rmtree(tmp)
-            writer = df.write.mode("overwrite")
-            if part_cols:
-                writer = writer.partitionBy(*part_cols)
-            writer.parquet(tmp)
-            # schema goes into tmp BEFORE the swap so no window exists where
-            # the live base table lacks its schema manifest (round-3 ADVICE);
-            # the swap itself is rename/rename/delete — every crash point
-            # leaves either the old base or a complete new base on disk,
-            # recoverable by _recover_compaction
-            with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
-                f.write(df.schema.json())
-            import json
-
-            with open(os.path.join(tmp, "_folded.json"), "w") as f:
-                json.dump({"folded": [os.path.basename(p) for p in dirs]}, f)
-            old = base + ".compact_old"
-            if os.path.isdir(old):
-                shutil.rmtree(old)
-            os.rename(base, old)
-            os.rename(tmp, base)
-            shutil.rmtree(old)
+            self._swap_base(
+                stage, df, folded_ids=[os.path.basename(p) for p in dirs]
+            )
             self._purge_folded(stage)
         # 2) remove orphans: snapshot dirs that are not committed (their own
         #    _SUCCESS missing, or the pages commit marker never landed)
@@ -226,6 +204,48 @@ class StageWriter:
                     orphans.append(f"{stage}_inc/{d}")
         return {"expired": expired, "orphans_removed": orphans}
 
+    def _swap_base(
+        self,
+        stage: str,
+        df,
+        part_cols: list[str] | None = None,
+        folded_ids: list[str] | None = None,
+    ) -> None:
+        """THE crash-safe base-table rewrite, shared by ``expire_snapshots``
+        (increment folding) and ``compact_stage`` (small-file rewrite) — a
+        single copy so a future crash-window fix cannot silently miss one
+        caller. Sequence: write the new base into ``.compact_tmp`` (data,
+        then the schema manifest — round-3 ADVICE: no window where the live
+        base lacks its schema — then the optional ``_folded.json``
+        increment manifest), then rename base→old, tmp→base, delete old.
+        Every crash point leaves either the old base or a COMPLETE new base
+        on disk, recoverable by ``_recover_compaction``."""
+        import shutil
+
+        base = self._stage_path(stage)
+        if part_cols is None:
+            part_cols = self._detect_partition_cols(base)
+        tmp = base + ".compact_tmp"
+        if os.path.isdir(tmp):  # stale tmp from an aborted attempt
+            shutil.rmtree(tmp)
+        writer = df.write.mode("overwrite")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        if folded_ids is not None:
+            import json
+
+            with open(os.path.join(tmp, "_folded.json"), "w") as f:
+                json.dump({"folded": folded_ids}, f)
+        old = base + ".compact_old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(base, old)
+        os.rename(tmp, base)
+        shutil.rmtree(old)
+
     def compact_stage(
         self, stage: str, target_file_bytes: int = 128 << 20
     ) -> dict:
@@ -241,15 +261,21 @@ class StageWriter:
         Returns {"rewritten": bool, "files_before": n, "files_after": n}.
         """
         import math
-        import shutil
 
+        if target_file_bytes <= 0:
+            raise ValueError(f"target_file_bytes must be positive, got {target_file_bytes}")
         self._recover_compaction(stage)
         base = self._stage_path(stage)
-        files = []
-        for root, _dirs, names in os.walk(base):
-            for n in names:
-                if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                    files.append(os.path.join(root, n))
+
+        def data_files() -> list[str]:
+            out = []
+            for root, _dirs, names in os.walk(base):
+                for n in names:
+                    if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                        out.append(os.path.join(root, n))
+            return out
+
+        files = data_files()
         total = sum(os.path.getsize(f) for f in files)
         part_cols = self._detect_partition_cols(base)
         target_n = max(1, math.ceil(total / target_file_bytes))
@@ -263,35 +289,12 @@ class StageWriter:
                 "files_after": len(files),
             }
         df = self._read_root(base)
-        if part_cols:
-            writer = df.repartition(*part_cols).write.mode("overwrite").partitionBy(
-                *part_cols
-            )
-        else:
-            writer = df.repartition(target_n).write.mode("overwrite")
-        tmp = base + ".compact_tmp"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        writer.parquet(tmp)
-        with open(os.path.join(tmp, "_stage_schema.json"), "w") as f:
-            f.write(df.schema.json())
-        old = base + ".compact_old"
-        if os.path.isdir(old):
-            shutil.rmtree(old)
-        os.rename(base, old)
-        os.rename(tmp, base)
-        shutil.rmtree(old)
-        after = 0
-        for root, _dirs, names in os.walk(base):
-            after += sum(
-                1
-                for n in names
-                if n.endswith(".parquet") and not n.startswith(("_", "."))
-            )
+        df = df.repartition(*part_cols) if part_cols else df.repartition(target_n)
+        self._swap_base(stage, df, part_cols=part_cols)
         return {
             "rewritten": True,
             "files_before": len(files),
-            "files_after": after,
+            "files_after": len(data_files()),
         }
 
     def _recover_compaction(self, stage: str) -> None:

@@ -485,6 +485,17 @@ def test_ntriples_export_encoding_and_sink(spark, tmp_path):
     write_ntriples(tr, out)
     back = sorted(r["value"] for r in spark.read.text(out).collect())
     assert back == lines
+    # empty-string term: encodes to an empty IRI path segment, never the
+    # invalid '%%' that sequence(1, 0)'s descending default produced
+    empty = spark.createDataFrame(
+        [("", "p", "x")], "subj string, pred string, obj string"
+    )
+    (line,) = [r["line"] for r in ntriples_lines(empty).collect()]
+    assert line == (
+        "<http://kg.example/e/> <http://kg.example/p/p> "
+        "<http://kg.example/e/x> ."
+    )
+    assert "%%" not in line
 
 
 def test_pagerank_dangling_redistribution_matches_numpy(spark):

@@ -498,18 +498,24 @@ def test_compact_stage_small_files(spark, tmp_path):
     res2 = pipe.writer.compact_stage("pages", target_file_bytes=1 << 30)
     assert not res2["rewritten"] and res2["files_after"] == 1
 
-    # partitioned stage: layout preserved, one file per live partition dir
+    # partitioned stage: seed multiple files per partition dir (an
+    # increment fold writes without repartitioning, so tasks scatter files
+    # across bucket dirs) so the partitioned MERGE path genuinely runs
+    pipe.run_incremental(generate_pages(spark, 120, partitions=8))
+    pipe.writer.expire_snapshots(keep_last=0)
     tri_rows = sorted(
         tuple(r)
         for r in pipe.writer.read_stage("triples")
         .select("subj", "pred", "obj", "url")
         .collect()
     )
+    tri_dirs_before = {os.path.dirname(f) for f in data_files("triples")}
+    assert len(data_files("triples")) > len(tri_dirs_before), "need >1 file/dir"
     res3 = pipe.writer.compact_stage("triples", target_file_bytes=1 << 30)
+    assert res3["rewritten"], res3
     tri_dirs = {os.path.dirname(f) for f in data_files("triples")}
     assert all("subj_bucket=" in d for d in tri_dirs)
-    if res3["rewritten"]:
-        assert len(data_files("triples")) == len(tri_dirs)
+    assert len(data_files("triples")) == len(tri_dirs)
     assert tri_rows == sorted(
         tuple(r)
         for r in pipe.writer.read_stage("triples")
@@ -560,3 +566,17 @@ def test_profile_drift_over_snapshots(spark, tmp_path):
     )
     loud = {r["col_name"]: r for r in profile_drift(old, broken).collect()}
     assert loud["lang"]["alert"] and loud["lang"]["null_ratio_new"] > 0.15
+
+    # schema rot: a column present in only one snapshot must be REPORTED
+    # (full outer join) with schema_changed + alert, not silently dropped
+    renamed = new.withColumnRenamed("lang", "language")
+    schema = {r["col_name"]: r for r in profile_drift(old, renamed).collect()}
+    assert schema["lang"]["schema_changed"] and schema["lang"]["alert"]
+    assert schema["language"]["schema_changed"] and schema["language"]["alert"]
+    assert not schema["url"]["schema_changed"]
+
+    # all-null old column vs populated new: range_changed must be True,
+    # not NULL (null-safe comparison)
+    nulled_old = old.withColumn("lang", F.lit(None).cast("string"))
+    rng = {r["col_name"]: r for r in profile_drift(nulled_old, new).collect()}
+    assert rng["lang"]["range_changed"] is True
