@@ -158,6 +158,26 @@ def test_ivf_assign_covers_all_vectors(spark):
     assert all(0 <= r["cell"] < sim.IVF_CELLS for r in cells)
 
 
+def test_blocked_cosine_arrow_pass_finds_identical_pairs(spark):
+    """The r6 vectorized Arrow bucket pass (one matmul per batch over all
+    bands' hyperplanes) must still collide every identical-vector pair in
+    every band: recall for exact duplicates is 1.0 by construction
+    regardless of the banding config."""
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = dd.embedding_cosine_pairs_blocked(
+        df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 1000)), 0.999
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(i, i + 1000) for i in range(50)}
+    assert all(abs(r["cosine"] - 1.0) < 1e-9 for r in pairs)
+
+
 def test_blocked_cosine_equals_bruteforce_on_neardup_corpus(spark):
     """The LSH-banded blocked near-dup (the crawl-scale default) must return
     exactly the brute-force pairs on the derived near-dup corpus."""
