@@ -926,13 +926,25 @@ def q_neardup_embedding_cosine(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    # corpus side spread at the ENTRY (a known raw single-row-group scan,
+    # so the per-row fold work would otherwise run one-task); the operator
+    # itself stays spread-free because its other callers feed it computed
+    # frames where a forced repartition is a measured regression
+    from entity_extractor_by_pointer_spark.partitioning import spread_small_scan
+
     e = _t(spark, sf_dir, "embeddings")
-    return sim.ann_topk_bruteforce(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
+    return sim.ann_topk_bruteforce(
+        spread_small_scan(e), e.where(F.col("vec_id") < ANN_QUERIES), ANN_K
+    )
 
 
 def q_ann_topk_lsh(spark, sf_dir):
+    from entity_extractor_by_pointer_spark.partitioning import spread_small_scan
+
     e = _t(spark, sf_dir, "embeddings")
-    return sim.ann_topk_lsh(e, e.where(F.col("vec_id") < ANN_QUERIES), ANN_K)
+    return sim.ann_topk_lsh(
+        spread_small_scan(e), e.where(F.col("vec_id") < ANN_QUERIES), ANN_K
+    )
 
 
 KMEANS_ITERS = 3

@@ -116,7 +116,9 @@ def tfidf_terms(docs, text_col: str = "text", id_col: str = "doc_id"):
     tfidf = tf · ln(N/df). All built-in expressions: explode → two
     aggregations (both map-side combined); the heavy exploded table never
     shuffles more than once."""
-    words = docs.select(
+    from ..partitioning import spread_small_scan
+
+    words = spread_small_scan(docs.select(id_col, text_col)).select(
         F.col(id_col), F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term")
     ).where(F.col("term") != "")
     n_docs = docs.count()
@@ -308,8 +310,11 @@ def vocab_edit_pairs(
     ≡ exhaustive."""
     from pyspark.sql import functions as F  # local: keep module header lean
 
+    from ..partitioning import spread_small_scan
+
     vocab = (
-        docs.select(F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"))
+        spread_small_scan(docs.select(text_col))
+        .select(F.explode(F.split(norm_text(F.col(text_col)), " ")).alias("term"))
         .where(F.col("term") != "")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))

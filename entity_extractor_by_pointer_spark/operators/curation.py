@@ -37,12 +37,19 @@ def curate_corpus(
     lang_col: str = "lang",
 ) -> DataFrame:
     """(doc_id, verdict) — one row per input document."""
-    fp = docs.select(
-        F.col(id_col), fingerprint64(F.col(text_col)).alias("_fp")
+    from ..partitioning import spread_small_scan
+
+    # one narrow spread projection feeds both the fingerprint and the
+    # quality branches (single-row-group inputs otherwise run the regex
+    # scoring on one core); the fingerprint frame is cached because the
+    # keep-id aggregate AND the join-back both read it
+    base = spread_small_scan(docs.select(id_col, text_col, lang_col))
+    fp = cached(
+        base.select(F.col(id_col), fingerprint64(F.col(text_col)).alias("_fp"))
     )
     keep_ids = fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
     with_keep = fp.join(keep_ids, "_fp").select(id_col, "_keep_id")
-    scored = docs.select(
+    scored = base.select(
         F.col(id_col),
         F.col(lang_col),
         quality_score(F.col(text_col)).alias("_q"),
@@ -120,8 +127,13 @@ def boilerplate_stats(
         hot_side = hot
     elif (
         broadcast_hot_max >= BOILERPLATE_BROADCAST_HOT_MAX
+        and min_df >= BOILERPLATE_MIN_DF
         and docs.count() <= census_docs_max
     ):
+        # the min_df >= default guard keeps the shortcut's worst-case bound
+        # honest: the 1M-row ceiling derivation assumes min_df ≥ 4, so a
+        # caller passing min_df=1 (hot set ≈ every distinct shingle) must
+        # take the censused branch below instead of a forced hint
         # small corpus at the DEFAULT ceiling: the hot set cannot threaten
         # the broadcast ceiling (see BOILERPLATE_CENSUS_DOCS bound) — skip
         # the census action entirely (round-4 bench regression). A
@@ -232,13 +244,19 @@ def source_stats(
     the per-source moments ride a single map-side-combined aggregation.
     Quality/token expressions are pure Catalyst."""
     from ..functions.textstats import fingerprint64, quality_score, ws_token_count
+    from ..partitioning import spread_small_scan
 
-    fp = docs.select(
-        F.col(id_col),
-        F.col(source_col).alias("source"),
-        quality_score(F.col(text_col)).alias("_q"),
-        ws_token_count(F.col(text_col)).alias("_tok"),
-        fingerprint64(F.col(text_col)).alias("_fp"),
+    # cached: the dup-count aggregate and the join-back both consume this
+    # frame — uncached, the quality/fingerprint regex work runs twice (and
+    # on a single core for single-row-group inputs without the spread)
+    fp = cached(
+        spread_small_scan(docs.select(id_col, source_col, text_col)).select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            quality_score(F.col(text_col)).alias("_q"),
+            ws_token_count(F.col(text_col)).alias("_tok"),
+            fingerprint64(F.col(text_col)).alias("_fp"),
+        )
     )
     dup_counts = fp.groupBy("_fp").agg(F.count(F.lit(1)).alias("_n_fp"))
     return (
@@ -340,10 +358,17 @@ def adaptive_quality_flags(
     language (90% of a crawl is one language) through a single task."""
     from pyspark.sql import Window
 
-    scored = docs.select(
-        F.col(id_col),
-        F.col(lang_col).alias("lang"),
-        quality_score(F.col(text_col)).alias("quality"),
+    from ..partitioning import spread_small_scan
+
+    # cached: the histogram and the final join both read the scored frame —
+    # uncached, the quality regexes run twice (single-core on one-row-group
+    # scans without the spread)
+    scored = cached(
+        spread_small_scan(docs.select(id_col, text_col, lang_col)).select(
+            F.col(id_col),
+            F.col(lang_col).alias("lang"),
+            quality_score(F.col(text_col)).alias("quality"),
+        )
     )
     hist = scored.groupBy("lang", "quality").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy("lang").orderBy("quality")

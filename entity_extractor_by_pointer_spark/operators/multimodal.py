@@ -86,7 +86,11 @@ def extract_media_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                 rows.append((int(mid), len(payload), digest, feat.tolist()))
             yield pd.DataFrame(rows, columns=["media_id", "n_bytes", "digest64", "feature"])
 
-    return media.select("media_id", "payload").mapInPandas(run, FEATURES_SCHEMA)
+    from ..partitioning import spread_small_scan
+
+    return spread_small_scan(media.select("media_id", "payload")).mapInPandas(
+        run, FEATURES_SCHEMA
+    )
 
 
 # ---------------------------------------------------------------------------

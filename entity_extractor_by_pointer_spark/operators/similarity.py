@@ -142,8 +142,12 @@ def ivf_assign(
     whole files via partition pruning.
     """
     centroids = ivf_centroids() if centroids is None else centroids
+    from ..partitioning import spread_small_scan
+
     v = F.col(vec_col).cast("array<double>")
-    return embeddings.select(F.col(id_col), best_cell_expr(v, centroids).alias("cell"))
+    return spread_small_scan(embeddings.select(id_col, vec_col)).select(
+        F.col(id_col), best_cell_expr(v, centroids).alias("cell")
+    )
 
 
 def top_cells_expr(v, centroids: np.ndarray, nprobe: int):
@@ -183,10 +187,12 @@ def materialize_ivf_corpus(
 
     spark = embeddings.sparkSession
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..partitioning import spread_small_scan
+
         centroids = ivf_centroids() if centroids is None else centroids
         v = F.col(vec_col).cast("array<double>")
         (
-            embeddings.select(
+            spread_small_scan(embeddings.select(id_col, vec_col)).select(
                 F.col(id_col), v.alias(vec_col), best_cell_expr(v, centroids).alias("cell")
             )
             .repartition("cell")
@@ -278,7 +284,9 @@ def kmeans_centroids(
     init = ivf_centroids() if centroids is None else centroids
     k, dim = init.shape
     spark = embeddings.sparkSession
-    vecs = embeddings.select(
+    from ..partitioning import spread_small_scan
+
+    vecs = spread_small_scan(embeddings.select(id_col, vec_col)).select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
         _norm(F.col(vec_col).cast("array<double>")).alias("nv"),

