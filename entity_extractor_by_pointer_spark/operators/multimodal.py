@@ -139,6 +139,13 @@ def parse_image_header(payload: bytes) -> tuple[str, int, int, int] | None:
             if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone: SOI, TEM, RSTn carry no length
                 continue
+            if marker == 0xD9 or marker == 0xDA:
+                # EOI before any SOFn, or SOS (entropy-coded data follows —
+                # a frame header must PRECEDE the scan, ITU-T T.81 §B.2.3):
+                # stop rather than walk bytes that are not length-bearing
+                # segments and misparse garbage as a fake SOFn (round-5
+                # ADVICE)
+                return None
             seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
             if seg_len < 2:
                 return None

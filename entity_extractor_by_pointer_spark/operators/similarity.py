@@ -91,8 +91,15 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: np.ndarray | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    ``broadcast_queries=False`` drops the forced broadcast hint on the
+    query side — required when the caller ranks a corpus against ITSELF
+    (census-gated entity relatedness above its brute ceiling), where the
+    query side is as big as the corpus and a forced hint would OOM instead
+    of degrading to a shuffle join on the bucket key."""
     planes = lsh_planes() if planes is None else planes
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
@@ -102,7 +109,8 @@ def ann_topk_lsh(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("vq"),
     ).withColumn("bucket", bucket_expr(F.col("vq"), planes)).withColumn("nq", _norm(F.col("vq")))
-    joined = corpus.join(F.broadcast(qs), "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    q_side = F.broadcast(qs) if broadcast_queries else qs
+    joined = corpus.join(q_side, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
     scored = joined.withColumn("cosine", _dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -714,10 +714,13 @@ def test_profile_table_one_pass_with_nulls(spark):
     assert (got["v"]["min_val"], got["v"]["max_val"]) == ("9", "10")  # numeric order
     assert got["s"]["n_nulls"] == 1 and got["s"]["n_distinct"] == 2
     assert got["id"]["n_rows"] == 4 and got["id"]["n_nulls"] == 0
-    # one aggregation job: the plan has a single pair of HashAggregates
-    # around one Exchange (plus the Expand the multi-distinct needs)
+    # exact mode (r6 shape): one independent single-distinct aggregate
+    # branch per column (two exchanges each — distinct phase + final 1-row
+    # agg), and no Expand (the fused multi-distinct re-expanded the whole
+    # input once per profiled column through a single pipeline)
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 2, plan
+    assert plan.count("Exchange") <= 2 * len(df.columns) + 1, plan
+    assert "Expand" not in plan, plan
 
 
 def test_contamination_flags_hand_computed(spark):

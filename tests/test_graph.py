@@ -458,6 +458,44 @@ def test_entity_related_by_embedding_ranks_by_cosine(spark):
     assert got[("E1", 2)] == "E3"  # orthogonal last
 
 
+def test_entity_related_census_gate_selects_ranker(spark):
+    """Round-5 verdict item 1: the related-entities ranker must census the
+    entity count and pick brute force below the gate (exact, BNLJ plan) vs
+    the LSH-bucketed ranker above it (no BNLJ anywhere in the plan). On a
+    corpus whose related entities have IDENTICAL context vectors, the LSH
+    path finds exactly the same first-ranked neighbors (same bucket in
+    every band), so the gate trades only far-neighbor recall, never the
+    near-duplicate signal."""
+    from entity_extractor_by_pointer_spark.cache import release_all
+    from entity_extractor_by_pointer_spark.operators.kgprep import (
+        entity_related_by_embedding,
+    )
+
+    cm = spark.createDataFrame(
+        [(1, "E1"), (1, "E2"), (2, "E3"), (2, "E4")],
+        "doc_id long, canon_id string",
+    )
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    def _plan(df) -> str:
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        brute = entity_related_by_embedding(cm, emb, k=1)
+        assert "BroadcastNestedLoopJoin" in _plan(brute)
+        lsh = entity_related_by_embedding(cm, emb, k=1, brute_max=0)
+        assert "BroadcastNestedLoopJoin" not in _plan(lsh)
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"] for r in lsh.collect()
+        }
+    finally:
+        release_all()
+    # identical-context pairs collide in every band: rank-1 neighbors exact
+    assert got[("E1", 1)] == "E2" and got[("E2", 1)] == "E1"
+    assert got[("E3", 1)] == "E4" and got[("E4", 1)] == "E3"
+
+
 def test_ntriples_export_encoding_and_sink(spark, tmp_path):
     """N-Triples rendering: IRI-unsafe characters percent-encoded per
     UTF-8 byte, duplicate edges collapsed, and the text sink round-trips."""

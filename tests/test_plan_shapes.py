@@ -151,17 +151,22 @@ def test_boilerplate_hot_broadcast_is_census_gated(spark):
 
 
 def test_profile_distinct_strategy_is_census_gated(spark):
-    """Round-4 verdict item 4 lock: profile_table's auto mode picks exact
-    multi-DISTINCT (Expand plan) at/below the row ceiling and HLL++ (no
-    Expand) above it."""
+    """Round-4 verdict item 4 lock (shape updated in r6): profile_table's
+    auto mode picks EXACT distincts at/below the row ceiling — now as a
+    union of independent per-column single-distinct branches (the fused
+    multi-DISTINCT Expand plan pushed cols x rows through one pipeline;
+    the branches run as concurrent stages of one job) — and HLL++ (fused,
+    no Expand, no Union) above it."""
     from entity_extractor_by_pointer_spark.operators.profile import profile_table
 
     li = spark.read.parquet(f"{SF}/lineitem.parquet")  # 6,000 rows
     cols = ["l_orderkey", "l_returnflag"]
     exact = _plan(profile_table(li, cols))
-    assert "Expand" in exact, exact
+    assert "approx_count_distinct" not in exact, exact
+    assert "Union" in exact, exact
     approx = _plan(profile_table(li, cols, exact_rows_max=0))
     assert "Expand" not in approx, approx
+    assert "Union" not in approx, approx
     assert "approx_count_distinct" in approx, approx
 
 
@@ -297,21 +302,41 @@ def test_stamped_store_write_once_and_prune_safety(tmp_path, monkeypatch):
     E._write_once(p1, build)
     assert len(calls) == 1 and os.path.exists(os.path.join(p1, "_SUCCESS"))
 
-    # racing loser: another builder lands the dest mid-build -> the loser's
-    # rename fails and its tmp dir is discarded; the winner's store wins
+    # racing loser: another builder lands a COMPLETE dest (_SUCCESS inside)
+    # mid-build -> the loser's rename fails, the winner's store is kept and
+    # the loser's tmp dir is discarded
     race_target = p1 + "_race"
 
     def losing_build(p):
         os.makedirs(p)
         open(os.path.join(p, "_SUCCESS"), "w").close()
-        # simulate the winner finishing first: dest appears (non-empty)
+        # simulate the winner finishing first: a complete dest appears
         # between the _SUCCESS check and our rename
         os.makedirs(race_target)
+        open(os.path.join(race_target, "_SUCCESS"), "w").close()
         open(os.path.join(race_target, "winner_marker"), "w").close()
 
     E._write_once(race_target, losing_build)
     assert os.path.exists(os.path.join(race_target, "winner_marker"))
     assert not os.path.isdir(f"{race_target}.tmp{os.getpid()}")  # tmp cleaned
+
+    # BROKEN destination (no _SUCCESS — externally created dir, crashed
+    # builder, EXDEV leftovers): the round-5 ADVICE case. The old code
+    # discarded every subsequent build and left readers on the broken store
+    # forever; the fixed contract replaces the destination with our
+    # complete build instead.
+    broken_target = p1 + "_broken"
+
+    def broken_race_build(p):
+        os.makedirs(p)
+        open(os.path.join(p, "_SUCCESS"), "w").close()
+        os.makedirs(broken_target)  # incomplete dest appears mid-build
+        open(os.path.join(broken_target, "junk"), "w").close()
+
+    E._write_once(broken_target, broken_race_build)
+    assert os.path.exists(os.path.join(broken_target, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(broken_target, "junk"))
+    assert not os.path.isdir(f"{broken_target}.tmp{os.getpid()}")
 
     # a WARM sibling stamp of the same dataset survives path resolution
     warm = os.path.join(str(tmp_path), os.path.basename(p1)[:-1] + "f")
