@@ -93,7 +93,9 @@ def disambiguate_mentions(
     (doc, entity, partial-count) rows for MATCHING tokens, never the corpus
     text. Candidates and profiles are broadcast; the winner is a
     map-side-combinable struct-max aggregate, not a window sort."""
-    toks = docs.select(
+    from ..partitioning import spread_small_scan
+
+    toks = spread_small_scan(docs.select(id_col, text_col)).select(
         F.col(id_col),
         F.explode(
             F.split(
