@@ -199,7 +199,13 @@ def _write_once(path: str, write_fn) -> None:
     # rename failed: only treat it as a lost race if the destination is a
     # COMPLETE store; otherwise (externally created dir, crashed builder,
     # EXDEV) replace the broken destination instead of silently discarding
-    # every future build (round-5 ADVICE)
+    # every future build (round-5 ADVICE). The _SUCCESS re-check directly
+    # before the removal narrows but cannot close the TOCTOU window: two
+    # builders that BOTH see a broken destination can still replace each
+    # other's store (each replacement is itself complete, but a reader
+    # holding the earlier file listing would miss). Acceptable here —
+    # builds are deterministic and the driver is single-process; a
+    # multi-writer deployment should wrap this in an advisory lock.
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         shutil.rmtree(tmp_path, ignore_errors=True)
         return

@@ -206,15 +206,17 @@ def contamination_flags(
     the corpus is ever collected or re-scanned."""
     from .dedup import shingle_df
 
-    # shingle_df already deduplicates on (_bid, shingle) and _bid is a
-    # constant, so the projection is distinct by construction — no second
-    # exchange needed
+    # shingle_df dedups WITHIN each row (array_distinct since r6), so a
+    # shingle shared across benchmark items appears once per item here —
+    # the explicit distinct keeps the broadcast dim one-row-per-shingle and
+    # the census below honest (cross-item duplication would inflate it
+    # toward the gate)
     bench_sh = shingle_df(
         benchmark.select(F.lit(0).alias("_bid"), F.col(bench_text_col)),
         "_bid",
         bench_text_col,
         n=n,
-    ).select("shingle")
+    ).select("shingle").distinct()
     bench_sh = cached(bench_sh)
     dim = F.broadcast(bench_sh) if bench_sh.count() <= broadcast_max else bench_sh
     doc_sh = shingle_df(docs, id_col, text_col, n=n)

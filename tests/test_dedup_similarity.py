@@ -192,6 +192,23 @@ def test_blocked_cosine_equals_bruteforce_on_neardup_corpus(spark):
     assert len(blocked) == 500  # one pair per original vector
 
 
+def test_jaccard_prunes_respect_rounding_window(spark):
+    """The engine accepts on round(J, 4) >= tau, which admits J >= tau-5e-5
+    — so the size-compatibility / min-intersection prunes must use the
+    slackened threshold. This pair sits INSIDE the rounding window
+    (J = 31999/40000 = 0.799975 -> rounds to 0.8): an unslackened
+    min >= tau*max cut (0.8*40000 = 32000 > 31999) would silently drop a
+    pair the oracle keeps."""
+    words_a = " ".join(f"w{i}" for i in range(40002))   # 40000 shingles
+    words_b = " ".join(f"w{i}" for i in range(32001))   # 31999, all within A
+    docs = spark.createDataFrame(
+        [(1, words_a), (2, words_b)], "doc_id long, text string"
+    )
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           dd.ngram_jaccard_pairs(docs, 0.8).collect()}
+    assert got == {(1, 2): 0.8}, got
+
+
 def test_jaccard_df_cap_prunes_hot_shingles_from_blocking(spark):
     """A pair whose ONLY shared shingles are hotter than the cap must be
     dropped by capped blocking (and found by exact blocking) — i.e. the cap

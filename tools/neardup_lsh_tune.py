@@ -28,11 +28,20 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-THRESHOLD = 0.95  # NEARDUP_COS_THRESHOLD
-LSH_SEED = 20240816
+# the SHIPPED constants — imported, not re-declared, so a changed seed or
+# threshold cannot silently make this tool validate a different blocking
+# than the one in production (this file is the recall-1.0 evidence gate
+# for banding changes)
+from __spark_entry__ import NEARDUP_COS_THRESHOLD as THRESHOLD  # noqa: E402
+from __spark_entry__ import NEARDUP_ID_OFFSET  # noqa: E402
+from entity_extractor_by_pointer_spark.operators.similarity import (  # noqa: E402
+    LSH_SEED,
+)
 
 
 def load_augmented(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Numpy mirror of ``__spark_entry__._augmented_embeddings`` — keep the
+    x1.03/x0.97 alternating perturbation in sync with that function."""
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
@@ -41,7 +50,7 @@ def load_augmented(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     pert = emb.copy()
     pert[:, 0::2] *= 1.03
     pert[:, 1::2] *= 0.97
-    all_ids = np.concatenate([ids, ids + 1_000_000])
+    all_ids = np.concatenate([ids, ids + NEARDUP_ID_OFFSET])
     all_emb = np.concatenate([emb, pert])
     return all_ids, all_emb
 
