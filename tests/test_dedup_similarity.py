@@ -444,6 +444,36 @@ def test_jaccard_auto_cap_plan_selection(spark):
     assert sorted(tuple(r) for r in capped_plan.collect()) == ref
 
 
+def test_jaccard_wide_agg_gate_plan_and_equivalence(spark, monkeypatch):
+    """Above the census gate the exact path widens ONLY the pair
+    aggregate's exchange (an explicit keyed repartition); below it the
+    plan is unchanged. The pair set is identical either way."""
+    import entity_extractor_by_pointer_spark.operators.dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(6)]
+        + [(10, "one two three four five"), (11, "one two three four five")],
+        "doc_id long, text string",
+    )
+    ref = sorted(tuple(r) for r in dd.ngram_jaccard_pairs(docs, 0.8).collect())
+
+    def _n_reparts(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("REPARTITION_BY_NUM")
+
+    # census (8 docs) below the wide gate → no extra repartition exchange
+    below = dd.ngram_jaccard_pairs(docs, 0.8, max_shingle_df="auto",
+                                   auto_docs_threshold=100)
+    n_below = _n_reparts(below)
+    # lower the gate under the corpus size → exactly one more
+    monkeypatch.setattr(dd, "PAIR_AGG_WIDE_DOCS", 4)
+    above = dd.ngram_jaccard_pairs(docs, 0.8, max_shingle_df="auto",
+                                   auto_docs_threshold=100)
+    assert _n_reparts(above) == n_below + 1
+    assert sorted(tuple(r) for r in above.collect()) == ref
+    assert sorted(tuple(r) for r in below.collect()) == ref
+
+
 def test_ann_topk_ivf_materialized_probe_and_nprobe(spark, tmp_path):
     """The probe over a materialized cell-partitioned corpus (a) returns the
     same rows as inline cell computation, (b) partition-prunes the corpus
