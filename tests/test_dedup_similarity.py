@@ -444,6 +444,44 @@ def test_jaccard_auto_cap_plan_selection(spark):
     assert sorted(tuple(r) for r in capped_plan.collect()) == ref
 
 
+def test_tuple_hash_of_string_matches_hashed_array_builder(spark):
+    """The signature dim re-derives each vocab string's word-tuple
+    xxhash64; it must coincide with the values the hashed-array builder
+    assigns, or the dim join silently drops every row."""
+    import entity_extractor_by_pointer_spark.operators.dedup as dd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three  four")],
+        "doc_id long, text string",
+    )
+    from_arrays = {
+        h
+        for r in dd._hashed_shingle_arrays(docs, "doc_id", "text").collect()
+        for h in r["sharr"]
+    }
+    words = docs.select(
+        "doc_id",
+        F.split(
+            __import__(
+                "entity_extractor_by_pointer_spark.functions.textstats",
+                fromlist=["norm_text"],
+            ).norm_text(F.col("text")),
+            " ",
+        ).alias("w"),
+    )
+    strings = words.select(
+        F.explode(F.expr(dd._shingle_arr_sql(dd.NGRAM_N, hashed=False))).alias("shingle")
+    )
+    from_strings = {
+        r["h"]
+        for r in strings.select(
+            F.expr(dd._tuple_hash_sql("shingle")).alias("h")
+        ).collect()
+    }
+    assert from_arrays and from_arrays == from_strings
+
+
 def test_jaccard_wide_agg_gate_plan_and_equivalence(spark, monkeypatch):
     """Above the census gate the exact path widens ONLY the pair
     aggregate's exchange (an explicit keyed repartition); below it the
