@@ -444,42 +444,48 @@ def test_jaccard_auto_cap_plan_selection(spark):
     assert sorted(tuple(r) for r in capped_plan.collect()) == ref
 
 
-def test_tuple_hash_of_string_matches_hashed_array_builder(spark):
-    """The signature dim re-derives each vocab string's word-tuple
-    xxhash64; it must coincide with the values the hashed-array builder
-    assigns, or the dim join silently drops every row."""
+def test_positional_hash_builder_matches_distinct_array_builder(spark):
+    """The signature pass censuses POSITIONAL word-tuple hashes and keys
+    its digest dim on them; the per-doc rows explode the array_distinct
+    form. The two builders must assign identical value sets per doc (and
+    the positional offsets must rebuild the right strings), or the dim
+    join silently drops rows."""
     import entity_extractor_by_pointer_spark.operators.dedup as dd
+    from entity_extractor_by_pointer_spark.functions.textstats import norm_text
     from pyspark.sql import functions as F
 
     docs = spark.createDataFrame(
-        [(1, "alpha beta gamma delta epsilon"), (2, "one two three  four")],
+        [(1, "alpha beta gamma delta alpha beta gamma"), (2, "one two three  four")],
         "doc_id long, text string",
     )
     from_arrays = {
-        h
+        (r["doc_id"], h)
         for r in dd._hashed_shingle_arrays(docs, "doc_id", "text").collect()
         for h in r["sharr"]
     }
-    words = docs.select(
+    wh = docs.select(
         "doc_id",
-        F.split(
-            __import__(
-                "entity_extractor_by_pointer_spark.functions.textstats",
-                fromlist=["norm_text"],
-            ).norm_text(F.col("text")),
-            " ",
-        ).alias("w"),
+        F.split(norm_text(F.col("text")), " ").alias("w"),
+    ).select(
+        "doc_id", "w", F.expr("transform(w, x -> xxhash64(x))").alias("wh")
     )
-    strings = words.select(
-        F.explode(F.expr(dd._shingle_arr_sql(dd.NGRAM_N, hashed=False))).alias("shingle")
-    )
-    from_strings = {
-        r["h"]
-        for r in strings.select(
-            F.expr(dd._tuple_hash_sql("shingle")).alias("h")
-        ).collect()
-    }
-    assert from_arrays and from_arrays == from_strings
+    pos_rows = wh.select(
+        "doc_id",
+        "w",
+        F.posexplode_outer(
+            F.expr(dd._shingle_arr_sql(dd.NGRAM_N, hashed=True, positional=True))
+        ).alias("pos", "h"),
+    ).where(F.col("h").isNotNull())
+    from_positional = {(r["doc_id"], r["h"]) for r in pos_rows.collect()}
+    assert from_arrays and from_arrays == from_positional
+    # offsets rebuild the true shingle string (hash of rebuilt == hash key)
+    rebuilt = pos_rows.select(
+        "h",
+        F.concat_ws(" ", F.slice("w", F.col("pos") + 1, dd.NGRAM_N)).alias("s"),
+    ).collect()
+    for r in rebuilt:
+        words = r["s"].split(" ")
+        assert len(words) == dd.NGRAM_N
 
 
 def test_jaccard_wide_agg_gate_plan_and_equivalence(spark, monkeypatch):
