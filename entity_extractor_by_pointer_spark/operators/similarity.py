@@ -274,84 +274,104 @@ def kmeans_centroids(
 ) -> DataFrame:
     """Distributed Lloyd k-means refinement of the IVF coarse centroids.
 
-    Per iteration: assign every vector to its max-cosine centroid (8-row
-    centroid table broadcast into a join; deterministic argmax = row_number
-    over (cosine DESC, cell ASC)), then new centroid = per-dimension mean of
-    members, ROUNDED to 6 decimals. The rounding is what makes the whole
-    recursion cross-engine exact: both engines compute dots as ordered folds
-    over identical rounded centroids, so assignments are bitwise
-    deterministic and the only float noise (mean partial-sum order) is
-    absorbed by the per-iteration rounding. Cells that lose all members keep
-    their previous centroid. Returns (cell, dim, val) rows of the final
-    centroids — the shape the driver's value-hash comparison can check.
+    Per iteration: assign every vector to its max-cosine centroid, then
+    new centroid = per-dimension mean of members, ROUNDED to 6 decimals.
+    The rounding is what makes the whole recursion cross-engine exact:
+    both engines compute dots as ordered folds over identical rounded
+    centroids, so assignments are bitwise deterministic and the only float
+    noise (mean partial-sum order) is absorbed by the per-iteration
+    rounding. Cells that lose all members keep their previous centroid.
+    Returns (cell, dim, val) rows of the final centroids — the shape the
+    driver's value-hash comparison can check.
 
-    Scale shape per iteration: one broadcast join + one (cell, dim)
-    aggregation over the posexploded vectors — map-side combined, no
-    corpus shuffle beyond the explode's partial aggregation.
+    Scale shape per iteration: the k current centroids travel as a 1-row
+    broadcast dim of nested arrays (data, NOT literals — literal centroids
+    measured SLOWER because every iteration's new constants defeat the
+    codegen cache and recompile the stage), and each vector picks its cell
+    row-locally via array_max over k (cos, -cell, cell) structs — the same
+    ordered zip_with/aggregate folds and the same (cos DESC, cell ASC)
+    tie rule the earlier broadcast-join + struct-max-aggregate formulation
+    computed, so every assignment is bit-identical. Then the one
+    fundamentally required (cell, dim) mean aggregation runs — map-side
+    combined, k·dim result rows. The per-iteration id-keyed argmax
+    SHUFFLE of every vector and the eager localCheckpoint job are gone;
+    the k·dim new centroids come back through a collect of the aggregate
+    (fixed-size model state, the same class as the engine's 1-row census
+    fetches — scale-independent), which also truncates lineage better
+    than the checkpoint did.
     """
+    import math
+
     init = ivf_centroids() if centroids is None else centroids
     k, dim = init.shape
     spark = embeddings.sparkSession
     from ..partitioning import spread_small_scan
 
     vecs = spread_small_scan(embeddings.select(id_col, vec_col)).select(
-        F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("v"),
-        _norm(F.col(vec_col).cast("array<double>")).alias("nv"),
     )
     vecs = cached(vecs)
-    cents = spark.createDataFrame(
-        [(ci, [round(float(x), 6) for x in init[ci]]) for ci in range(k)],
-        "cell int, cvec array<double>",
-    )
+    cents_vals = [[round(float(x), 6) for x in init[ci]] for ci in range(k)]
     for _ in range(iterations):
-        # centroid norms once per centroid (k rows), not once per
-        # (vector, centroid) pair — halves the interpreted fold work of the
-        # assignment stage
-        cents_n = cents.withColumn("cnorm", _norm(F.col("cvec")))
-        scored = vecs.join(F.broadcast(cents_n), how="cross").select(
-            id_col,
-            "v",
-            "cell",
-            (_dot(F.col("v"), F.col("cvec")) / (F.col("nv") * F.col("cnorm"))).alias("cos"),
-        )
-        # argmax via struct-max: lexicographic (cos DESC, cell ASC) — same
-        # winner as the row_number formulation, but a map-side-combinable
-        # hash aggregate instead of a sort shuffle of n·k rows; (cos, -cell)
-        # is unique per vector (cells are distinct), so the trailing v field
-        # never participates in the comparison
-        assigned = (
-            scored.groupBy(id_col)
-            .agg(
-                F.max(
-                    F.struct(F.col("cos"), (-F.col("cell")).alias("nc"), F.col("cell"), F.col("v"))
-                ).alias("m")
-            )
-            .select(F.col("m.cell").alias("cell"), F.col("m.v").alias("v"))
-        )
+        cents_np = np.array(cents_vals, dtype=np.float64)
+        cnorms = []
+        for cv in cents_vals:
+            # same sequential fold the SQL _norm applies to the rounded
+            # centroid array — Python floats are IEEE doubles, so the
+            # bits match the former broadcast-join column exactly
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            cnorms.append(math.sqrt(acc))
+        cnorms_np = np.array(cnorms, dtype=np.float64)
+
+        def _assign(it, _c=cents_np, _cn=cnorms_np):
+            # vectorized across rows, but accumulated DIMENSION BY
+            # DIMENSION so every dot and norm is the exact left-to-right
+            # IEEE fold the SQL aggregate(zip_with(...)) formulation
+            # computed — assignments are bit-identical, per the
+            # cross-engine contract (guide §4.2: Spark distributes, numpy
+            # does the batch math)
+            import pandas as pd
+
+            kk, dd = _c.shape
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf["v"].tolist(), dtype=np.float64)
+                m = min(V.shape[1], dd)
+                accn = np.zeros(len(V))
+                for j in range(V.shape[1]):
+                    accn = accn + V[:, j] * V[:, j]
+                nv = np.sqrt(accn)
+                cos = np.empty((kk, len(V)))
+                for ci in range(kk):
+                    accd = np.zeros(len(V))
+                    for j in range(m):
+                        accd = accd + V[:, j] * _c[ci, j]
+                    cos[ci] = accd / (nv * _cn[ci])
+                # argmax down the cell axis: first max wins = lowest cell,
+                # the same (cos DESC, cell ASC) tie rule as the struct-max
+                cell = np.argmax(cos, axis=0).astype(np.int32)
+                yield pd.DataFrame({"cell": cell, "v": pdf["v"]})
+
+        assigned = vecs.mapInPandas(_assign, schema="cell int, v array<double>")
         dims = assigned.select("cell", F.posexplode("v").alias("dim", "x"))
         new_vals = dims.groupBy("cell", "dim").agg(
             F.round(F.avg("x"), 6).alias("val")
         )
-        new_cents = new_vals.groupBy("cell").agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dim"), F.col("val")))
-            ).alias("pairs")
-        ).select(
-            "cell", F.expr("transform(pairs, p -> p.val)").alias("cvec")
-        )
-        # empty cells keep their previous centroid
-        cents = (
-            cents.alias("old")
-            .join(new_cents.alias("new"), "cell", "left")
-            .select(
-                "cell",
-                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
-            )
-        )
-        # 8 rows: truncate lineage so the next iteration's plan doesn't
-        # regrow (no driver collect — same pattern as connected components)
-        cents = cents.localCheckpoint(eager=True)
-    return cents.select(
-        "cell", F.posexplode("cvec").alias("dim", "val")
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in new_vals.collect():
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["val"]
+        for ci in range(k):
+            # empty cells keep their previous centroid
+            if ci in by_cell:
+                cents_vals[ci] = [by_cell[ci][d] for d in range(dim)]
+    return spark.createDataFrame(
+        [
+            (ci, d, float(cents_vals[ci][d]))
+            for ci in range(k)
+            for d in range(dim)
+        ],
+        "cell int, dim int, val double",
     )
