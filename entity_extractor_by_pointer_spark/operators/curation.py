@@ -116,13 +116,15 @@ def boilerplate_stats(
     shuffle carries only (shingle) keys.
 
     This census only ever compares shingles for equality, so it runs on
-    the 8-byte xxhash64 shingle rows (``_hashed_shingles_with_size`` —
-    same deduped sets, collision-free on every test corpus, ~3x cheaper to
-    build than string shingles) and the per-doc totals ride along as the
-    pre-computed ``n_sh`` instead of a second aggregation."""
-    from .dedup import _hashed_shingles_with_size
+    the 8-byte xxhash64 shingle rows (same deduped sets, collision-free on
+    every test corpus, ~3x cheaper to build than string shingles) and the
+    per-doc totals come straight off the cached per-doc ARRAY table (one
+    size() per row) instead of a distinct over the exploded occurrence
+    rows."""
+    from .dedup import _hashed_shingle_arrays
 
-    sh = _hashed_shingles_with_size(docs, id_col, text_col)
+    arr = _hashed_shingle_arrays(docs, id_col, text_col)
+    sh = arr.select(id_col, F.explode("sharr").alias("shingle"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -149,9 +151,11 @@ def boilerplate_stats(
         hot = cached(hot)  # census + join read the same materialization
         n_hot = hot.count()
         hot_side = F.broadcast(hot) if n_hot <= broadcast_hot_max else hot
-    # per-doc totals come free with the hashed rows (n_sh is computed at
-    # explode time) — one distinct projection instead of a count aggregate
-    per_doc = sh.select(id_col, F.col("n_sh").alias("n_shingles")).distinct()
+    # per-doc totals are an O(1) size() off the cached array rows — no
+    # explode, no distinct shuffle (shingle-less docs carry 0 here AND are
+    # absent from the former exploded-distinct — identical output either
+    # way through the left join + fillna below)
+    per_doc = arr.select(id_col, F.size("sharr").alias("n_shingles"))
     boiler = (
         sh.select(id_col, "shingle")
         .join(hot_side, "shingle", "left_semi")
