@@ -38,6 +38,8 @@ def test_no_collect_in_operator_hot_paths():
         "__main__.py",  # CLI result display (top-10 limit)
         "skew.py",  # hot-key detection collects a ≤top_k aggregate
         "graph.py",  # PMI broadcast/fan-out census: one 2-row aggregate
+        "similarity.py",  # k-means iteration fetches the k*dim centroid
+        # means (fixed-size model state from an aggregate — scale-free)
     }
     bad = []
     for path in PKG.rglob("*.py"):
