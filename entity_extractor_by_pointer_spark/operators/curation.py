@@ -151,11 +151,12 @@ def boilerplate_stats(
         hot = cached(hot)  # census + join read the same materialization
         n_hot = hot.count()
         hot_side = F.broadcast(hot) if n_hot <= broadcast_hot_max else hot
-    # per-doc totals are an O(1) size() off the cached array rows — no
-    # explode, no distinct shuffle (shingle-less docs carry 0 here AND are
-    # absent from the former exploded-distinct — identical output either
-    # way through the left join + fillna below)
-    per_doc = arr.select(id_col, F.size("sharr").alias("n_shingles"))
+    # per-doc totals are an O(1) size() off the cached array rows (vs the
+    # former distinct over the 2.6M exploded occurrence rows); the
+    # distinct here is over the tiny one-row-per-doc frame and keeps the
+    # old duplicate-id tolerance — without it a doc_id appearing twice in
+    # the input would fan out the docs left join below
+    per_doc = arr.select(id_col, F.size("sharr").alias("n_shingles")).distinct()
     boiler = (
         sh.select(id_col, "shingle")
         .join(hot_side, "shingle", "left_semi")

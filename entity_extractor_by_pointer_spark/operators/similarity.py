@@ -313,7 +313,13 @@ def kmeans_centroids(
     vecs = cached(vecs)
     cents_vals = [[round(float(x), 6) for x in init[ci]] for ci in range(k)]
     for _ in range(iterations):
-        cents_np = np.array(cents_vals, dtype=np.float64)
+        # centroid lengths can drift apart once a cell absorbs shorter or
+        # longer member vectors (the SQL collect_list rebuild had the same
+        # property) — pad the matrix for vectorization, keep true lengths
+        k_lens = [len(cv) for cv in cents_vals]
+        cents_np = np.zeros((k, max(k_lens) if k_lens else 0))
+        for ci, cv in enumerate(cents_vals):
+            cents_np[ci, : len(cv)] = cv
         cnorms = []
         for cv in cents_vals:
             # same sequential fold the SQL _norm applies to the rounded
@@ -324,35 +330,46 @@ def kmeans_centroids(
                 acc = acc + x * x
             cnorms.append(math.sqrt(acc))
         cnorms_np = np.array(cnorms, dtype=np.float64)
+        k_lens_np = np.array(k_lens, dtype=np.int64)
 
-        def _assign(it, _c=cents_np, _cn=cnorms_np):
-            # vectorized across rows, but accumulated DIMENSION BY
-            # DIMENSION so every dot and norm is the exact left-to-right
-            # IEEE fold the SQL aggregate(zip_with(...)) formulation
-            # computed — assignments are bit-identical, per the
-            # cross-engine contract (guide §4.2: Spark distributes, numpy
-            # does the batch math)
+        def _assign(it, _c=cents_np, _cn=cnorms_np, _cl=k_lens_np):
+            # vectorized across rows (per vector length group), but
+            # accumulated DIMENSION BY DIMENSION so every dot and norm is
+            # the exact left-to-right IEEE fold the SQL
+            # aggregate(zip_with(...)) formulation computed — assignments
+            # are bit-identical (guide §4.2: Spark distributes, numpy does
+            # the batch math). A zero-norm (dead) or length-mismatched
+            # centroid is excluded outright: in the SQL form its cosine
+            # was NULL (division by zero / zip_with null padding), and
+            # NULL sorts below every value in a struct-max, so such a cell
+            # could never win.
             import pandas as pd
 
-            kk, dd = _c.shape
+            kk = _c.shape[0]
             for pdf in it:
                 if len(pdf) == 0:
                     continue
-                V = np.array(pdf["v"].tolist(), dtype=np.float64)
-                m = min(V.shape[1], dd)
-                accn = np.zeros(len(V))
-                for j in range(V.shape[1]):
-                    accn = accn + V[:, j] * V[:, j]
-                nv = np.sqrt(accn)
-                cos = np.empty((kk, len(V)))
-                for ci in range(kk):
-                    accd = np.zeros(len(V))
-                    for j in range(m):
-                        accd = accd + V[:, j] * _c[ci, j]
-                    cos[ci] = accd / (nv * _cn[ci])
-                # argmax down the cell axis: first max wins = lowest cell,
-                # the same (cos DESC, cell ASC) tie rule as the struct-max
-                cell = np.argmax(cos, axis=0).astype(np.int32)
+                lens = pdf["v"].str.len().to_numpy()
+                cell = np.zeros(len(pdf), dtype=np.int32)
+                for L in np.unique(lens):
+                    sel = lens == L
+                    V = np.array(pdf.loc[sel, "v"].tolist(), dtype=np.float64)
+                    accn = np.zeros(len(V))
+                    for j in range(int(L)):
+                        accn = accn + V[:, j] * V[:, j]
+                    nv = np.sqrt(accn)
+                    cos = np.full((kk, len(V)), -np.inf)
+                    for ci in range(kk):
+                        if _cn[ci] == 0.0 or _cl[ci] != L:
+                            continue
+                        accd = np.zeros(len(V))
+                        for j in range(int(L)):
+                            accd = accd + V[:, j] * _c[ci, j]
+                        cos[ci] = accd / (nv * _cn[ci])
+                    # argmax down the cell axis: first max wins = lowest
+                    # cell, the same (cos DESC, cell ASC) tie rule as the
+                    # struct-max
+                    cell[sel] = np.argmax(cos, axis=0).astype(np.int32)
                 yield pd.DataFrame({"cell": cell, "v": pdf["v"]})
 
         assigned = vecs.mapInPandas(_assign, schema="cell int, v array<double>")
@@ -364,14 +381,16 @@ def kmeans_centroids(
         for r in new_vals.collect():
             by_cell.setdefault(r["cell"], {})[r["dim"]] = r["val"]
         for ci in range(k):
-            # empty cells keep their previous centroid
+            # empty cells keep their previous centroid; a cell's new
+            # length tracks its members' (posexplode emits exactly the
+            # dims present, contiguously from 0)
             if ci in by_cell:
-                cents_vals[ci] = [by_cell[ci][d] for d in range(dim)]
+                cents_vals[ci] = [by_cell[ci][d] for d in sorted(by_cell[ci])]
     return spark.createDataFrame(
         [
-            (ci, d, float(cents_vals[ci][d]))
+            (ci, d, float(x))
             for ci in range(k)
-            for d in range(dim)
+            for d, x in enumerate(cents_vals[ci])
         ],
         "cell int, dim int, val double",
     )

@@ -395,6 +395,44 @@ def test_kmeans_centroids_match_numpy_lloyd(spark):
             assert abs(got[(c, d)] - cents[c, d]) < 2e-6, (c, d, got[(c, d)], cents[c, d])
 
 
+def test_kmeans_dead_cell_and_length_mismatch_excluded(spark):
+    """A zero-norm centroid (SQL cosine NULL via division by zero) and a
+    length-mismatched centroid (SQL cosine NULL via zip_with padding)
+    must never win an assignment — the numpy argmax path excludes both
+    exactly like the struct-max-over-NULL did."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1])], "vec_id long, embedding array<double>"
+    )
+    cents = np.array(
+        [
+            [0.0, 0.0],        # dead cell: zero norm
+            [-1.0, 0.0],       # live but opposite
+            [1.0, 0.0],        # live and closest
+        ]
+    )
+    got = {
+        (r["cell"], r["dim"]): r["val"]
+        for r in sim.kmeans_centroids(emb, iterations=1, centroids=cents).collect()
+    }
+    # both vectors must land in cell 2 (max cosine among LIVE cells), so
+    # cell 2's centroid becomes their mean and cells 0/1 keep theirs
+    assert got[(2, 0)] == round((1.0 + 0.9) / 2, 6)
+    assert got[(0, 0)] == 0.0 and got[(1, 0)] == -1.0
+    # a centroid longer than every vector is excluded the same way
+    cents3 = np.array([[0.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 0.0]])
+    emb2 = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got2 = {
+        (r["cell"], r["dim"]): r["val"]
+        for r in sim.kmeans_centroids(emb2, iterations=1, centroids=cents3).collect()
+    }
+    # no live equal-length cell exists -> argmax over all -inf = cell 0;
+    # cell 0's centroid becomes the sole member's mean (2 dims)
+    assert got2[(0, 0)] == 1.0 and got2[(0, 1)] == 0.0
+    assert (1, 0) in got2  # cell 1 keeps its previous 4-dim centroid
+
+
 def test_winnow_fingerprint_content_defined(spark):
     import pyspark.sql.functions as F
 

@@ -125,7 +125,11 @@ def main() -> None:
     sf_arg = sys.argv[1] if len(sys.argv) > 1 else "1.0"
     sf = float(sf_arg)
     outdir = sys.argv[2] if len(sys.argv) > 2 else f"/root/testdata_synth/sf{sf_arg}"
-    assert not outdir.startswith("/root/testdata/"), "never write into driver testdata"
+    real = os.path.realpath(outdir)
+    protected = os.path.realpath("/root/testdata")
+    assert real != protected and not real.startswith(protected + os.sep), (
+        "never write into driver testdata"
+    )
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
     mult = sf / 0.1  # counts below are the measured sf0.1 counts
